@@ -1,0 +1,203 @@
+"""Crawl ordering / seen-set equivalence vs the pure-Python reference
+simulator (north rule: 'matching the reference's crawl ordering and
+URL-seen set under the same seed list + politeness budget').
+
+Also covers: resume-from-snapshot identity, bloom-vs-exact dedup
+equivalence, salted-vs-plain politeness equivalence, robots blocking,
+and retry semantics for missing pages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scrapers_python_spark.oracle import frontier_sim as sim
+from web_scrapers_python_spark.oracle import reference as ref
+from web_scrapers_python_spark.plans.engine import CrawlConfig, CrawlEngine
+from web_scrapers_python_spark.sources import datagen as G
+from web_scrapers_python_spark.sources.catalog import SnapshotCatalog
+from web_scrapers_python_spark.sources.seeds import read_seeds
+
+N, H, SEED = 300, 16, 42
+N_SEEDS = 10
+
+POLICY_SCHEMA = ("host string, crawl_delay double, max_per_round int, "
+                 "robots_disallow array<string>")
+
+
+def _seed_dicts():
+    return [{"url": G.url_of(SEED, i, H), "label": "a"} for i in range(N_SEEDS)]
+
+
+def _pages_dict():
+    return {G.url_of(SEED, i, H): G.html_of(SEED, i, N, H) for i in range(N)}
+
+
+def _policy_dict():
+    return {r["host"]: r for r in G.host_policy_rows(SEED, H)}
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return G.generate_pages(spark, N, H, SEED).cache()
+
+
+@pytest.fixture(scope="module")
+def policy(spark):
+    return spark.createDataFrame(G.host_policy_rows(SEED, H), POLICY_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def seeds_df(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("seeds") / "seeds.txt"
+    p.write_text("\n".join(json.dumps(s) for s in _seed_dicts()) + "\n")
+    return read_seeds(spark, str(p))
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return sim.simulate(_pages_dict(), _seed_dicts(), _policy_dict())
+
+
+def _run_engine(spark, pages, policy, seeds_df, tmp, cfg=None):
+    cat = SnapshotCatalog(spark, str(tmp))
+    eng = CrawlEngine(spark, pages, policy, cat, cfg or CrawlConfig())
+    metrics = eng.run(seeds_df, max_rounds=30)
+    return cat, metrics
+
+
+def _assert_matches_golden(cat, metrics, golden):
+    # per-round scheduled URL sets (ordering within a round is parallel;
+    # the cross-round order IS the crawl order)
+    assert len(metrics) == len(golden.rounds)
+    frontier = cat.read("frontier")
+    by_round_state = frontier.select("url", "round", "state", "seq").collect()
+    # final seen set identical
+    seen = {r["url_hash"] for r in cat.read("seen").select("url_hash").collect()}
+    assert seen == golden.seen
+    # seq assignment identical url→seq (FIFO order parity, O1)
+    got_seq = {r["url"]: r["seq"] for r in by_round_state}
+    want_seq = {e.url: e.seq for e in golden.entries.values()}
+    assert got_seq == want_seq
+    # per-round metrics match the simulator's log
+    for m, g in zip(metrics, golden.rounds):
+        assert m["scheduled"] + m["robots_blocked"] >= m["scheduled"]
+        assert m["links_enqueued"] == g["enqueued"], m
+        assert m["articles_scraped"] == g["articles"], m
+    # articles: same url set + byte-identical content
+    arts = {r["url"]: r for r in cat.read("articles").collect()}
+    sim_arts = {a["url"]: a for a in golden.articles}
+    assert set(arts) == set(sim_arts)
+    for u, a in arts.items():
+        assert (a["content"] or None) == (sim_arts[u].get("content") or None), u
+
+
+def test_engine_matches_simulator(spark, pages, policy, seeds_df, golden,
+                                  tmp_path):
+    cat, metrics = _run_engine(spark, pages, policy, seeds_df, tmp_path)
+    _assert_matches_golden(cat, metrics, golden)
+
+
+def test_scheduled_sets_per_round(spark, pages, policy, seeds_df, golden,
+                                  tmp_path):
+    """Round-r scheduled set == simulator round-r scheduled set (exact)."""
+    cat, metrics = _run_engine(spark, pages, policy, seeds_df, tmp_path)
+    # reconstruct engine per-round schedules from seen snapshots:
+    # a url's last_round flips to r when it is fetched in round r
+    for g in golden.rounds:
+        r = g["round"]
+        snap = cat.read("seen", snapshot_id=r + 1)  # snapshot 0 = bootstrap
+        fetched_r = {
+            row["url"] for row in snap.where(
+                (F.col("last_round") == r) & (F.col("scrape_count") > 0)
+            ).select("url").collect()
+        }
+        want = {u for u in g["scheduled"] if u in _pages_dict()}
+        assert fetched_r == want, f"round {r}"
+
+
+def test_bloom_dedup_equivalence(spark, pages, policy, seeds_df, golden,
+                                 tmp_path):
+    cfg = CrawlConfig(use_bloom=True)
+    cat, metrics = _run_engine(spark, pages, policy, seeds_df, tmp_path, cfg)
+    _assert_matches_golden(cat, metrics, golden)
+
+
+def test_salted_politeness_equivalence(spark, pages, policy, seeds_df,
+                                       golden, tmp_path):
+    cfg = CrawlConfig(n_salts=4)
+    cat, metrics = _run_engine(spark, pages, policy, seeds_df, tmp_path, cfg)
+    _assert_matches_golden(cat, metrics, golden)
+
+
+def test_resume_from_snapshot_identity(spark, pages, policy, seeds_df,
+                                       golden, tmp_path):
+    """Kill after round k, resume from the snapshot catalog → final state
+    identical to the uninterrupted run (E5)."""
+    wh = tmp_path / "wh"
+    cat = SnapshotCatalog(spark, str(wh))
+    eng = CrawlEngine(spark, pages, policy, cat, CrawlConfig())
+    eng.run(seeds_df, max_rounds=1)  # bootstrap + round 0, then 'crash'
+
+    # new engine + new catalog object over the same warehouse = resume
+    cat2 = SnapshotCatalog(spark, str(wh))
+    eng2 = CrawlEngine(spark, pages, policy, cat2, CrawlConfig())
+    metrics2 = eng2.run(seeds=None, max_rounds=30)
+
+    all_metrics = [None] * 0
+    # stitch: round 0 from first run + rest from resume
+    m0 = [r for r in cat2.rounds() if r["round"] == 0]
+    assert m0, "round 0 must be committed before the crash"
+    combined = [{"round": 0}] + metrics2
+    assert len(combined) == len(golden.rounds)
+    _assert_state_equal(cat2, golden)
+
+
+def _assert_state_equal(cat, golden):
+    seen = {r["url_hash"] for r in cat.read("seen").select("url_hash").collect()}
+    assert seen == golden.seen
+    arts = {r["url"] for r in cat.read("articles").select("url").collect()}
+    assert arts == {a["url"] for a in golden.articles}
+
+
+def test_robots_blocking(spark, pages, policy, seeds_df, tmp_path):
+    """/private paths on robots-bearing hosts never get fetched."""
+    cat, _ = _run_engine(spark, pages, policy, seeds_df, tmp_path)
+    frontier = cat.read("frontier").collect()
+    rules = _policy_dict()
+    for r in frontier:
+        dis = rules.get(r["host"], {}).get("robots_disallow", [])
+        path = r["url"].split(r["host"], 1)[1]
+        if any(path.startswith(p) for p in dis):
+            assert r["state"] == "robots_blocked", r["url"]
+        else:
+            assert r["state"] != "robots_blocked", r["url"]
+
+
+def test_missing_page_retry_then_fail(spark, policy, tmp_path):
+    """URLs absent from the pages table retry max_retries times then fail
+    (orchestrator.py:375-405 semantics)."""
+    seeds = spark.createDataFrame(
+        [("https://host0.example.com/news/present-0", "a", None, 0, 0),
+         ("https://host0.example.com/news/ghost", None, None, 0, 1)],
+        "url string, label string, parser string, priority int, seq long",
+    )
+    pages = spark.createDataFrame(
+        [("https://host0.example.com/news/present-0",
+          b"<html><head><title>T</title></head><body></body></html>")],
+        "url string, html binary",
+    ).withColumn("warc_ts", F.current_timestamp()) \
+     .withColumn("text", F.lit(None).cast("string")) \
+     .withColumn("lang", F.lit("en"))
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    eng = CrawlEngine(spark, pages, policy, cat, CrawlConfig(max_retries=3))
+    metrics = eng.run(seeds, max_rounds=10)
+    ghost = [r for r in cat.read("frontier").collect()
+             if "ghost" in r["url"]][0]
+    assert ghost["state"] == "failed"
+    assert ghost["retry_count"] == 3
+    assert len(metrics) == 3  # three rounds of retries

@@ -1,0 +1,146 @@
+"""URL-seen dedup (SURVEY §2.3 J1-J3) — exact anti-join + partitioned
+bloom pre-filter.
+
+Reference semantics: exact, point-lookup dedup on ``url_hash``
+(cassandra_manager.py:317-329) and first-enqueue-wins within a batch
+(crawlee uniqueKey, routes.py:44-57). At the 10^10 design point the
+exact anti-join shuffles the full seen set per round, so a partitioned
+bloom filter (built per host_bucket, broadcast to executors) prunes the
+candidate side first; false positives are re-checked by the exact join,
+false negatives are impossible — the composite is exactly the
+reference's dedup (SURVEY §4.2.1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, BooleanType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+
+def first_wins(df: DataFrame, key: str = "url_hash",
+               order: str = "seq") -> DataFrame:
+    """Within-batch dedup keeping the first enqueue (min order) — J2."""
+    w = Window.partitionBy(key).orderBy(F.col(order).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame,
+                   key: str = "url_hash") -> DataFrame:
+    """Exact seen-set anti-join — J1 (the correctness baseline)."""
+    return candidates.join(seen.select(key), key, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Partitioned bloom filters
+# --------------------------------------------------------------------------
+# Layout: one filter per host_bucket. Sizing at the design point
+# (SURVEY §7 hard-part 3): 10^10 keys / 1024 buckets ≈ 10^7 keys/bucket;
+# at 1% FP that is ~1.2 * 10^7 bytes ≈ 12 MB per bucket — each executor
+# only needs the buckets of the partitions it processes (join on
+# host_bucket), never the full set.
+
+BLOOM_SCHEMA = StructType([
+    StructField("host_bucket", IntegerType()),
+    StructField("filter", BinaryType()),
+    StructField("n_bits", LongType()),
+    StructField("n_hashes", IntegerType()),
+    StructField("n_items", LongType()),
+])
+
+
+def _bloom_params(n_items: int, fp_rate: float) -> tuple[int, int]:
+    n = max(n_items, 1)
+    m = max(64, int(-n * math.log(fp_rate) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _positions(key: str, m: int, k: int) -> np.ndarray:
+    d = hashlib.sha256(key.encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return np.array([(h1 + i * h2) % m for i in range(k)], dtype=np.int64)
+
+
+def build_bloom_filters(seen: DataFrame, key: str = "url_hash",
+                        bucket_col: str = "host_bucket",
+                        fp_rate: float = 0.01) -> DataFrame:
+    """Per-bucket bloom build via applyInPandas (grouped-map; each group
+    fits one executor — buckets are sized for that)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf[key].dropna().to_numpy()
+        m, k = _bloom_params(len(keys), fp_rate)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for s in keys:
+            for p in _positions(s, m, k):
+                bits[p >> 3] |= 1 << (p & 7)
+        return pd.DataFrame([{
+            "host_bucket": int(pdf[bucket_col].iloc[0]),
+            "filter": bits.tobytes(),
+            "n_bits": m,
+            "n_hashes": k,
+            "n_items": len(keys),
+        }])
+
+    return seen.groupBy(bucket_col).applyInPandas(build, BLOOM_SCHEMA)
+
+
+def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
+                       filters: DataFrame | None = None,
+                       key: str = "url_hash",
+                       bucket_col: str = "host_bucket") -> DataFrame:
+    """J1 at scale: bloom split, then exact anti-join on suspects only.
+
+    A bloom miss proves the key was never seen → the row bypasses the
+    expensive anti-join entirely. A bloom hit (true hit or FP) goes
+    through the exact anti-join, which removes every truly-seen row.
+    The composite is therefore exactly the reference's exact dedup for
+    ANY filter content — only the join's input volume changes."""
+    if filters is None:
+        return anti_join_seen(candidates, seen, key)
+    joined = candidates.join(F.broadcast(filters), bucket_col, "left")
+
+    @F.pandas_udf(BooleanType())
+    def maybe_seen(keys: pd.Series, flt: pd.Series, n_bits: pd.Series,
+                   n_hashes: pd.Series) -> pd.Series:
+        out = []
+        for s, fb, m, k in zip(keys, flt, n_bits, n_hashes):
+            if fb is None or pd.isna(m):
+                out.append(False)
+                continue
+            bits = np.frombuffer(fb, dtype=np.uint8)
+            hit = True
+            for p in _positions(s, int(m), int(k)):
+                if not (bits[p >> 3] >> (p & 7)) & 1:
+                    hit = False
+                    break
+            out.append(hit)
+        return pd.Series(out)
+
+    flagged = joined.withColumn(
+        "_maybe",
+        F.when(F.col("filter").isNull(), F.lit(False)).otherwise(
+            maybe_seen(F.col(key), F.col("filter"), F.col("n_bits"),
+                       F.col("n_hashes"))
+        ),
+    ).select(*candidates.columns, "_maybe")
+    definite_new = flagged.where(~F.col("_maybe")).drop("_maybe")
+    suspects = flagged.where(F.col("_maybe")).drop("_maybe")
+    confirmed_new = anti_join_seen(suspects, seen, key)
+    return definite_new.unionByName(confirmed_new)

@@ -1,0 +1,274 @@
+"""The crawl engine: one DataFrame job per scheduling round, snapshot
+checkpoints between rounds (SURVEY §3.1 Spark lifecycle, §2.10 E3/E5).
+
+Per round r (all declarative; Catalyst/AQE pick physical strategies):
+
+  frontier(pending) ─ robots split (broadcast host_policy)
+      → per-host politeness top-B (salted window, W2)
+      → fetch = inner join pages ⋈ broadcast(scheduled)   (J4)
+      → phase split on label (E2): discover | parse
+      → discover: link expansion (E1) → first-wins (J2)
+                  → bloom + exact anti-join vs seen (J1)
+                  → deterministic seq assignment (O1)
+      → parse: parser dispatch (F9/P3) → pandas-UDF parsers (P1)
+               → AI analysis stage (P4/P5)
+      → writes: articles append, seen merge (J3), frontier state,
+                round_metrics (A1/A4) → atomic round commit (E5)
+
+The reference's orchestrator (orchestrator.py:419-497) collapses into
+``run``'s while-loop; K8s job retries (375-405) become the
+``retry_count < max_retries`` re-queue of failed fetches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import links as L
+from ..operators import parse as P
+from ..operators import politeness as W
+from ..operators.sequence import assign_global_seq
+from ..sources.catalog import SnapshotCatalog
+
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "host_bucket", "depth", "priority",
+    "parser", "label", "discovered_from", "seq", "round", "state",
+    "retry_count",
+]
+
+SEEN_SCHEMA = ("url_hash string, url string, host_bucket int, "
+               "first_round int, last_round int, scrape_count int, "
+               "status string")
+
+
+@dataclass
+class CrawlConfig:
+    n_buckets: int = 64          # host buckets (partitioning + bloom layout)
+    default_budget: int = W.DEFAULT_BUDGET
+    order: str = "fifo"          # 'fifo' (reference parity) | 'priority' (W1)
+    n_salts: int = 0             # >0 → salted two-stage politeness window
+    use_bloom: bool = False      # bloom pre-filter before exact anti-join
+    rediscover: bool = False     # False = reference two-phase routing
+    max_retries: int = 3         # orchestrator.py:64
+    max_depth: int | None = None
+    max_rounds: int = 100
+
+    def order_by(self) -> list:
+        if self.order == "priority":
+            return [F.col("priority").desc(), F.col("depth").asc(),
+                    F.col("seq").asc()]
+        return [F.col("seq").asc()]
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, pages: DataFrame,
+                 host_policy: DataFrame, catalog: SnapshotCatalog,
+                 config: CrawlConfig | None = None):
+        self.spark = spark
+        self.pages = pages
+        self.host_policy = host_policy
+        self.catalog = catalog
+        self.cfg = config or CrawlConfig()
+
+    # -- bootstrap -----------------------------------------------------------
+    def bootstrap(self, seeds: DataFrame) -> None:
+        """seeds: (url, label, parser, priority, seq) in file order.
+        Seeds enter the frontier at depth 0 and the seen set at enqueue
+        time (crawlee uniqueKey semantics, J2)."""
+        f = (
+            L.with_url_identity(seeds, self.cfg.n_buckets)
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovered_from", F.lit(None).cast("string"))
+            .withColumn("round", F.lit(0))
+            .withColumn("state", F.lit("pending"))
+            .withColumn("retry_count", F.lit(0))
+            .select(*FRONTIER_COLS)
+        )
+        f = D.first_wins(f, "url_hash", "seq")
+        seen = f.select(
+            "url_hash", "url", "host_bucket",
+            F.lit(0).alias("first_round"), F.lit(0).alias("last_round"),
+            F.lit(0).alias("scrape_count"), F.lit("pending").alias("status"),
+        )
+        fs = self.catalog.write_snapshot("frontier", f, {"round": -1})
+        ss = self.catalog.write_snapshot("seen", seen, {"round": -1})
+        self.catalog.commit_round(-1, {"frontier": fs, "seen": ss})
+
+    # -- one round -------------------------------------------------------------
+    def run_round(self, r: int) -> dict:
+        cfg = self.cfg
+        frontier = self.catalog.read("frontier")
+        seen = self.catalog.read("seen")
+        max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
+
+        pending = frontier.where(F.col("state") == "pending")
+        if cfg.max_depth is not None:
+            pending = pending.where(F.col("depth") <= cfg.max_depth)
+
+        allowed, blocked = W.apply_robots(pending, self.host_policy)
+        blocked = blocked.cache()
+        scheduled = W.schedule_per_host(
+            allowed, self.host_policy, cfg.order_by(),
+            cfg.default_budget, cfg.n_salts,
+        ).select(*FRONTIER_COLS).cache()
+
+        # J4: pages ⋈ broadcast(scheduled) inner; misses recovered by a
+        # broadcast anti-join (scheduled is the small side both times).
+        fetched = self.pages.select("url", "html").join(
+            F.broadcast(scheduled), "url", "inner"
+        ).cache()
+        missing = scheduled.join(
+            F.broadcast(fetched.select("url")), "url", "left_anti"
+        )
+
+        # E2 phase split
+        is_parse = F.col("label") == "PARSE"
+        is_discover = F.col("label").isNotNull() & ~is_parse
+        parse_rows = fetched.where(is_parse | F.col("label").isNull())
+        discover_rows = fetched.where(is_discover)
+
+        # P3/P1: parser dispatch + parse. Reference routing parses only
+        # label='PARSE' rows (routes.py:61-100); label-null rows are
+        # fetched but neither discovered-from nor parsed (routes.py:33-39).
+        parse_eff = parse_rows.where(is_parse).withColumn(
+            "parser", P.U.select_parser_id(F.col("url"), F.col("parser"))
+        ).where(F.col("parser").isNotNull())
+        articles = P.parse_articles(parse_eff).withColumn("round", F.lit(r))
+        articles = P.add_ai_analysis(articles)
+
+        # E1: link expansion from discover rows
+        children = L.expand_links(discover_rows, cfg.n_buckets,
+                                  cfg.rediscover)
+        children = D.first_wins(
+            children.withColumn(
+                "seq", F.col("parent_seq") * 1024 + F.col("pos")
+            ),
+            "url_hash", "seq",
+        ).cache()
+        filters = None
+        if cfg.use_bloom:
+            filters = D.build_bloom_filters(seen, "url_hash", "host_bucket")
+        fresh = D.dedup_against_seen(children, seen, filters)
+        fresh = assign_global_seq(
+            fresh.drop("seq"), ["parent_seq", "pos"], start=max_seq + 1
+        )
+        fresh_frontier = fresh.select(
+            "url", "url_hash", "host", "host_bucket", "depth", "priority",
+            "parser", "label", "discovered_from", "seq",
+            F.lit(r + 1).alias("round"), F.lit("pending").alias("state"),
+            F.lit(0).alias("retry_count"),
+        )
+
+        # frontier state transitions
+        fetched_keys = fetched.select("url_hash").withColumn("_new", F.lit("fetched"))
+        missing_keys = missing.select("url_hash").withColumn("_new", F.lit("fetch_failed"))
+        blocked_keys = blocked.select("url_hash").withColumn("_new", F.lit("robots_blocked"))
+        transitions = fetched_keys.unionByName(missing_keys).unionByName(blocked_keys)
+        new_frontier = (
+            frontier.join(transitions, "url_hash", "left")
+            .withColumn(
+                "retry_count",
+                F.when(F.col("_new") == "fetch_failed",
+                       F.col("retry_count") + 1).otherwise(F.col("retry_count")),
+            )
+            .withColumn(
+                "state",
+                F.when(F.col("_new").isNull(), F.col("state"))
+                .when((F.col("_new") == "fetch_failed")
+                      & (F.col("retry_count") < cfg.max_retries), "pending")
+                .when(F.col("_new") == "fetch_failed", "failed")
+                .otherwise(F.col("_new")),
+            )
+            .drop("_new")
+            .select(*FRONTIER_COLS)
+            .unionByName(fresh_frontier)
+        )
+
+        # J3: seen MERGE — update fetched rows, insert fresh children
+        upd = fetched.select("url_hash").withColumn("_f", F.lit(1))
+        seen_updated = (
+            seen.join(upd, "url_hash", "left")
+            .withColumn("last_round",
+                        F.when(F.col("_f").isNotNull(), F.lit(r))
+                        .otherwise(F.col("last_round")))
+            .withColumn("scrape_count",
+                        F.when(F.col("_f").isNotNull(),
+                               F.col("scrape_count") + 1)
+                        .otherwise(F.col("scrape_count")))
+            .withColumn("status",
+                        F.when(F.col("_f").isNotNull(), F.lit("scraped"))
+                        .otherwise(F.col("status")))
+            .drop("_f")
+        )
+        seen_inserts = fresh_frontier.select(
+            "url_hash", "url", "host_bucket",
+            F.lit(r + 1).alias("first_round"),
+            F.lit(r + 1).alias("last_round"),
+            F.lit(0).alias("scrape_count"), F.lit("pending").alias("status"),
+        )
+        new_seen = seen_updated.unionByName(seen_inserts)
+
+        # commits (each write is one snapshot; the round tag makes the
+        # group atomic-at-resume — E5)
+        snaps = {}
+        snaps["articles"] = self.catalog.write_snapshot(
+            "articles", articles, {"round": r}, mode="append")
+        snaps["frontier"] = self.catalog.write_snapshot(
+            "frontier", new_frontier, {"round": r})
+        snaps["seen"] = self.catalog.write_snapshot(
+            "seen", new_seen, {"round": r})
+
+        # A1/A4 metrics from the committed snapshots (exact, idempotent)
+        nf = self.catalog.read("frontier")
+        n_blocked = blocked.count()
+        n_fetched = fetched.count()
+        n_sched = transitions.count() - n_blocked  # fetched + missing
+        n_articles = self.catalog.read("articles").where(
+            F.col("round") == r).count()
+        n_children = children.count()
+        n_fresh = nf.where(F.col("round") == r + 1).count()
+        metrics = {
+            "round": r,
+            "scheduled": n_sched,
+            "fetched": n_fetched,
+            "fetch_failed": n_sched - n_fetched,
+            "robots_blocked": n_blocked,
+            "articles_scraped": n_articles,
+            "links_discovered": n_children,
+            "links_enqueued": n_fresh,
+            "duplicates_skipped": n_children - n_fresh,
+            "pending_after": nf.where(F.col("state") == "pending").count(),
+        }
+        mdf = self.spark.createDataFrame(
+            [(r, k, int(v)) for k, v in metrics.items() if k != "round"],
+            "round int, metric string, value long",
+        ).withColumn("round", F.lit(r))
+        snaps["round_metrics"] = self.catalog.write_snapshot(
+            "round_metrics", mdf, {"round": r}, mode="append")
+        self.catalog.commit_round(r, snaps)
+        for df in (scheduled, fetched, children, blocked):
+            df.unpersist()
+        return metrics
+
+    # -- loop -------------------------------------------------------------------
+    def run(self, seeds: DataFrame | None = None,
+            max_rounds: int | None = None) -> list[dict]:
+        """E3: bootstrap (unless resuming) then rounds until the frontier
+        drains. Resume = continue from the last complete round's
+        snapshots — no recomputation, identical final state."""
+        if seeds is not None:
+            self.bootstrap(seeds)
+        last = self.catalog.last_complete_round()
+        start = (last["round"] + 1) if last else 0
+        out = []
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        for r in range(start, start + limit):
+            m = self.run_round(r)
+            out.append(m)
+            if m["pending_after"] == 0:
+                break
+        return out

@@ -1,0 +1,87 @@
+"""Seed-file source — Spark-native (SURVEY §2.1 S1-S3, §2.8 X18).
+
+Reference behavior (src/core/seeds.py:39-112): read newline text file;
+skip blank lines and ``#`` comments; each line is either a JSON object
+(with lenient repair: quote unquoted keys, single→double quotes) or a
+bare ``http(s)://`` URL; invalid lines are dropped with a warning.
+
+Everything is a Column expression over ``spark.read.text`` — the seed
+file scan distributes and the decode stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import strip_ws
+
+SEED_SCHEMA = "url STRING, label STRING, parser STRING, priority INT"
+
+
+def decode_seed_line(line: Column) -> Column:
+    """parse_seed_line (seeds.py:76-112) as one expression.
+
+    Order: strict JSON → lenient-repair JSON → bare URL → NULL.
+    ``from_json`` in PERMISSIVE mode yields a NULL struct on broken
+    JSON, mirroring the caught JSONDecodeError. The repair
+    (seeds.py:97-102) is replicated verbatim — including its quirk of
+    quoting the scheme colon in absolute-URL values (those lines fail
+    in the reference too; see tests/test_functions_parity.py)."""
+    ln = strip_ws(line)
+    is_jsonish = ln.startswith("{") & ln.endswith("}")
+    strict = F.from_json(ln, SEED_SCHEMA)
+    repaired = F.from_json(
+        F.replace(
+            F.regexp_replace(ln, r"(\w+):", '"$1":'), F.lit("'"), F.lit('"')
+        ),
+        SEED_SCHEMA,
+    )
+    bare = F.struct(
+        ln.alias("url"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("string").alias("parser"),
+        F.lit(None).cast("int").alias("priority"),
+    )
+    return (
+        F.when(is_jsonish & strict["url"].isNotNull(), strict)
+        .when(is_jsonish & repaired["url"].isNotNull(), repaired)
+        .when(ln.startswith("http://") | ln.startswith("https://"), bare)
+        .otherwise(F.lit(None).cast(f"struct<{SEED_SCHEMA.replace(' STRING', ':STRING').replace(' INT', ':INT').replace(', ', ',')}>"))
+    )
+
+
+def read_seeds(spark: SparkSession, path: str) -> DataFrame:
+    """Seed file → DataFrame(url, label, parser, priority, seq).
+
+    ``seq`` is the 0-based file line order of *valid* seeds — the FIFO
+    position the reference gives them (main.py:96-107 preserves list
+    order). Line numbers are taken from the text-source order; the read
+    is a single narrow stage."""
+    lines = (
+        spark.read.text(path)
+        .select(
+            F.monotonically_increasing_id().alias("_file_pos"),
+            F.col("value"),
+        )
+    )
+    # single text file → one partition → monotonic id ≡ line order; for
+    # multi-file seed sets, prefix file name ordering upstream.
+    stripped = strip_ws(F.col("value"))
+    decoded = (
+        lines
+        .where((F.length(stripped) > 0) & ~stripped.startswith("#"))  # seeds.py:60-61
+        .select("_file_pos", decode_seed_line(F.col("value")).alias("seed"))
+        .where(F.col("seed").isNotNull() & F.col("seed")["url"].isNotNull())
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy("_file_pos")
+    return (
+        decoded.select(
+            F.col("seed")["url"].alias("url"),
+            F.col("seed")["label"].alias("label"),
+            F.col("seed")["parser"].alias("parser"),
+            F.coalesce(F.col("seed")["priority"], F.lit(0)).alias("priority"),
+            (F.row_number().over(w) - 1).cast("long").alias("seq"),
+        )
+    )
