@@ -49,6 +49,7 @@ def build_spark(cpus: int):
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM",
@@ -79,7 +80,9 @@ def run_crawl(spark, n: int = CRAWL_N, n_hosts: int = CRAWL_HOSTS,
     seed = 42
     wh = tempfile.mkdtemp(prefix="crawl-bench-")
     try:
-        pages = G.generate_pages(spark, n, n_hosts, seed).cache()
+        cpus = spark.sparkContext.defaultParallelism
+        pages = G.generate_pages(spark, n, n_hosts, seed) \
+            .repartition(cpus * 3).cache()
         pages.count()  # materialize outside the timed section
         # Bench politeness: generous per-host budget — the headline is
         # scheduling+parsing throughput, not policy starvation. (Policy

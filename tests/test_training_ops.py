@@ -1,0 +1,302 @@
+"""Tests for the training-data pipeline layer: dedup sketches, ANN,
+text stats, multimodal plumbing, streaming metrics.
+
+Independent oracles: hand-computed values, numpy recomputation, or
+in-test reimplementation of the hash formulas — never the module under
+test. (The driver's DuckDB oracle re-checks the same operators against
+__spark_entry__.oracle_sql at sf0.01.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from web_scrapers_python_spark.functions import hashing as H
+from web_scrapers_python_spark.functions import textstats as TS
+from web_scrapers_python_spark.operators import docdedup as DD
+from web_scrapers_python_spark.operators import multimodal as MM
+from web_scrapers_python_spark.operators import similarity as SIM
+
+
+# -- independent reimplementation of the cross-engine hash ------------------
+
+def py_h64(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def py_minhash(text: str, n_hashes: int = DD.NUM_HASHES,
+               k: int = DD.SHINGLE_K) -> list[int]:
+    norm = " ".join(text.lower().split())
+    grams = ({norm} if len(norm) < k
+             else {norm[i:i + k] for i in range(len(norm) - k + 1)})
+    hs = [py_h64(g) % H.P31 for g in grams]
+    out = []
+    for i in range(n_hashes):
+        a, b = H.perm_coeffs(i)
+        out.append(min((a * h + b) % H.P31 for h in hs))
+    return out
+
+
+def py_simhash(text: str, bits: int = DD.SIMHASH_BITS) -> int:
+    norm = " ".join(text.lower().split())
+    toks = set(norm.split(" "))
+    hs = [py_h64(t) % H.M32 for t in toks]
+    v = 0
+    for b in range(bits):
+        s = sum(1 if (h >> b) & 1 else -1 for h in hs)
+        if s >= 0:
+            v |= 1 << b
+    return v
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "s1"),
+        (1, "the quick brown fox jumps over the lazy dog", "s1"),  # dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "s1"),  # near-dup
+        (3, "completely different content about spark engines", "s2"),
+        (4, "absolutely unrelated words regarding database systems", "s2"),
+        (5, "the quick brown fox jumps over the lazy dog today", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestExactDedup:
+    def test_duplicates_collapse(self, docs):
+        out = {r["doc_id"]: r["n_copies"]
+               for r in DD.exact_dedup(docs).collect()}
+        assert out[0] == 2          # doc 1 collapsed into doc 0 (min id)
+        assert 1 not in out
+        assert out[2] == 1
+
+    def test_hash_is_reference_hash(self, docs):
+        row = DD.exact_dedup(docs).where(F.col("doc_id") == 3).first()
+        txt = "completely different content about spark engines"
+        assert row["content_hash"] == hashlib.sha256(
+            txt.encode()).hexdigest()[:16]
+
+
+class TestMinHash:
+    def test_signature_matches_python(self, docs):
+        sigs = DD.minhash_signatures(docs).where(F.col("doc_id") == 0).first()
+        expect = py_minhash("the quick brown fox jumps over the lazy dog")
+        got = [sigs[f"sig_{i:02d}"] for i in range(DD.NUM_HASHES)]
+        assert got == expect
+
+    def test_identical_docs_identical_signatures(self, docs):
+        rows = {r["doc_id"]: [r[f"sig_{i:02d}"] for i in range(DD.NUM_HASHES)]
+                for r in DD.minhash_signatures(docs).collect()}
+        assert rows[0] == rows[1]
+        assert rows[0] != rows[3]
+
+    def test_lsh_finds_near_dups(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in DD.minhash_dup_pairs(docs, top_k=None,
+                                               threshold=0.0).collect()}
+        assert pairs[(0, 1)] == 1.0                  # exact dup
+        assert any(p in pairs for p in [(0, 2), (0, 5), (1, 2)])
+        for (a, b), j in pairs.items():
+            assert 0.0 <= j <= 1.0 and a < b
+
+
+class TestSimHash:
+    def test_matches_python(self, docs):
+        got = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+        for did, txt in [(0, "the quick brown fox jumps over the lazy dog"),
+                         (3, "completely different content about spark engines")]:
+            assert got[did] == py_simhash(txt)
+        assert got[0] == got[1]
+
+    def test_dup_pairs_by_hamming(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in DD.simhash_dup_pairs(docs, max_hamming=16).collect()}
+        assert pairs[(0, 1)] == 0
+        # near-dup (one token changed) has small hamming
+        if (0, 2) in pairs:
+            assert pairs[(0, 2)] <= 16
+
+
+class TestNgramJaccard:
+    def test_hand_computed(self, spark):
+        a, b = "abcdefghij", "abcdefghiz"       # 7-grams: 4 each
+        df = spark.createDataFrame(
+            [(0, a, "x"), (1, b, "x")], "doc_id long, text string, source string")
+        row = DD.ngram_jaccard_pairs(df, top_k=5).first()
+        ga = {a[i:i + 7] for i in range(4)}
+        gb = {b[i:i + 7] for i in range(4)}
+        expect = len(ga & gb) / len(ga | gb)
+        assert abs(row["jaccard"] - expect) < 1e-12
+        assert (row["id_a"], row["id_b"]) == (0, 1)
+
+    def test_blocking_prevents_cross_block_pairs(self, docs):
+        pairs = DD.ngram_jaccard_pairs(docs, top_k=100).collect()
+        blocks = {0: "s1", 1: "s1", 2: "s1", 3: "s2", 4: "s2", 5: "s2"}
+        for r in pairs:
+            assert blocks[r["id_a"]] == blocks[r["id_b"]]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 16).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype(np.float32)  # near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return (spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            vecs)
+
+
+class TestANN:
+    def test_brute_matches_numpy(self, embeddings):
+        df, vecs = embeddings
+        out = SIM.brute_topk(df.where(F.col("vec_id") < 5), df, k=3).collect()
+        v = vecs.astype(np.float64)
+        sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None]
+                            * np.linalg.norm(v, axis=1)[None, :])
+        for q in range(5):
+            order = [i for i in np.argsort(-sims[q], kind="stable")
+                     if i != q][:3]
+            got = sorted([r for r in out if r["query_id"] == q],
+                         key=lambda r: r["rank"])
+            assert [r["neighbor_id"] for r in got] == order
+            for r in got:
+                assert abs(r["cosine_sim"] - sims[q][r["neighbor_id"]]) < 1e-9
+
+    def test_lsh_is_subset_with_exact_scores(self, embeddings):
+        df, vecs = embeddings
+        q = df.where(F.col("vec_id") < 10)
+        lsh = SIM.lsh_topk(q, df, dim=16, k=3).collect()
+        v = vecs.astype(np.float64)
+        sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None]
+                            * np.linalg.norm(v, axis=1)[None, :])
+        assert len(lsh) > 0
+        for r in lsh:
+            assert abs(r["cosine_sim"]
+                       - sims[r["query_id"]][r["neighbor_id"]]) < 1e-9
+
+    def test_lsh_finds_near_duplicate(self, embeddings):
+        df, _ = embeddings
+        q = df.where(F.col("vec_id") == 0)
+        lsh = SIM.lsh_topk(q, df, dim=16, k=3).collect()
+        # vec 1 is a tiny perturbation of vec 0 → same buckets, rank 1
+        assert lsh and lsh[0]["neighbor_id"] == 1
+
+
+class TestTextStats:
+    def test_langid(self, spark):
+        rows = [(0, "the cat and the dog but not in the rain"),
+                (1, "der hund und die katze ist nicht hier"),
+                (2, "el perro y la casa que los gatos en un dia"),
+                (3, "le chien est dans les rues pour une heure"),
+                (4, "zzz qqq xxx")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["l"] for r in df.select(
+            "doc_id", TS.langid(F.col("text")).alias("l")).collect()}
+        assert got == {0: "en", 1: "de", 2: "es", 3: "fr", 4: "unknown"}
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "  hello,  world! 42 "), (1, ""), (2, "one")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["ws"], r["bpe"]) for r in df.select(
+            "doc_id",
+            TS.ws_token_count(F.col("text")).alias("ws"),
+            TS.bpe_token_count(F.col("text")).alias("bpe")).collect()}
+        assert got[0] == (3, 5)   # bpe: hello , world ! 42 ; ws: 3 words
+        assert got[1] == (0, 0)
+        assert got[2] == (1, 1)
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Hello   World"), (1, "hello world"), (2, "hello  worlds")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["fp"] for r in df.select(
+            "doc_id", TS.fingerprint64(F.col("text")).alias("fp")).collect()}
+        assert got[0] == got[1] != got[2]
+        assert got[1] == py_h64("hello world")
+
+    def test_quality_score_range(self, spark, docs=None):
+        df = spark.createDataFrame(
+            [(0, "the data pipeline processes records, and the results "
+                 "are stored in tables. the system is fast."),
+             (1, ""), (2, "x")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["q"] for r in df.select(
+            "doc_id", TS.doc_quality_score(F.col("text")).alias("q")).collect()}
+        assert all(0.0 <= v <= 10.0 for v in got.values())
+        assert got[0] > got[2]
+
+
+class TestMultimodal:
+    def test_features_match_hashlib(self, spark):
+        df = spark.createDataFrame([(7, "hello media")], "doc_id long, text string")
+        media = MM.synthesize_media(df, "doc_id", "text")
+        row = MM.extract_features(media).first()
+        payload = "hello media".encode()
+        d = hashlib.sha256(payload)
+        assert row["media_id"] == 7
+        assert row["n_bytes"] == len(payload)
+        assert row["sha"] == d.hexdigest()
+        expect = [b / 255.0 for b in d.digest()[:MM.FEATURE_DIM]]
+        assert all(abs(a - e) < 1e-6 for a, e in zip(row["feature"], expect))
+
+    def test_decode_stub_false_raises(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        media = MM.synthesize_media(df, "doc_id", "text")
+        from py4j.protocol import Py4JJavaError
+        with pytest.raises(Exception) as ei:
+            MM.extract_features(media, decode_stub=False).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError)
+
+    def test_frame_sample_rows(self, spark):
+        df = spark.createDataFrame([(1, "abcdefghij" * 30)],
+                                   "doc_id long, text string")
+        media = MM.synthesize_media(df, "doc_id", "text")   # duration = 3000ms
+        frames = MM.frame_sample(media, every_ms=1000).collect()
+        assert len(frames) == 3
+        assert [f["frame_idx"] for f in frames] == [0, 1, 2]
+        joined = b"".join(bytes(f["frame"]) for f in frames)
+        assert joined == ("abcdefghij" * 30).encode()[:len(joined)]
+        assert len(joined) >= 298   # step*n_frames covers nearly all bytes
+
+
+class TestStreaming:
+    def test_windowed_counts_match_batch(self, spark, tmp_path):
+        src = str(tmp_path / "events")
+        events = spark.range(0, 500).select(
+            F.col("id").alias("event_id"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + (F.col("id") * 97 % 7200).cast("int")
+             .cast("string").cast("interval second")).alias("ts"),
+            (F.col("id") % 7).alias("user_id"),
+            F.concat(F.lit("type"), (F.col("id") % 3).cast("string"))
+            .alias("event_type"),
+            (F.col("id") * 1.5).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        events.write.mode("overwrite").parquet(src)
+
+        from web_scrapers_python_spark.streaming.metrics import run_to_memory
+        got = run_to_memory(spark, src, "stream_counts_t")
+        batch = (
+            spark.read.parquet(src)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value")
+        )
+        g = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                    round(r["sum_value"], 6))
+             for r in got.collect()}
+        b = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                    round(r["sum_value"], 6))
+             for r in batch.collect()}
+        assert g == b and len(g) >= 4

@@ -1,0 +1,213 @@
+"""North-rule scaling evidence: the same crawl job at two parallelism
+levels (local[N] vs local[4N]) over the same on-disk corpus, reporting
+throughput at both and the scaling efficiency
+
+    eff = rate_4N / (4 * rate_N)            (target >= 0.8)
+
+This sandbox has no multi-executor cluster; per the driver instruction
+the two local[*] core counts stand in for N and 4N executors. The
+corpus is generated once (parquet on disk) and both runs read the same
+files; each run gets a fresh SparkSession, a codegen warm-up crawl,
+then the timed crawl (bootstrap + discover round + parse round).
+
+Usage: python tools/scaling_bench.py [--small] [--out BENCH_SCALING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEED = 42
+
+# body_scale=6 ≈ 10-40 KB pages — representative Common-Crawl page
+# weight (the default sf-test corpus at scale 1 is unrealistically thin,
+# which overstates fixed-overhead share and understates per-URL work).
+FULL = dict(n_pages=400_000, n_hosts=1024, n_seeds=200_000,
+            rounds=2, budget=100_000, salts=16, warm_seeds=2_000,
+            body_scale=6)
+SMALL = dict(n_pages=30_000, n_hosts=256, n_seeds=12_000,
+             rounds=2, budget=100_000, salts=8, warm_seeds=500,
+             body_scale=6)
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"scaling-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def gen_corpus(workdir: str, cfg: dict) -> str:
+    """Generate the pages corpus once, at full parallelism, to parquet."""
+    path = os.path.join(workdir, "pages")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from web_scrapers_python_spark.sources import datagen as G
+    spark = build_spark(os.cpu_count() or 32)
+    try:
+        G.generate_pages(spark, cfg["n_pages"], cfg["n_hosts"], SEED,
+                         body_scale=cfg.get("body_scale", 1)) \
+            .write.mode("overwrite").parquet(path)
+    finally:
+        spark.stop()
+    return path
+
+
+def write_seeds(workdir: str, name: str, k: int, cfg: dict) -> str:
+    from web_scrapers_python_spark.sources import datagen as G
+    p = os.path.join(workdir, name)
+    if not os.path.exists(p):
+        with open(p, "w") as f:
+            for i in range(k):
+                f.write('{"url": "%s", "label": "a"}\n'
+                        % G.url_of(SEED, i, cfg["n_hosts"]))
+    return p
+
+
+def run_level(cpus: int, pages_path: str, workdir: str, cfg: dict) -> dict:
+    from web_scrapers_python_spark.plans.engine import CrawlConfig, CrawlEngine
+    from web_scrapers_python_spark.sources import datagen as G
+    from web_scrapers_python_spark.sources.catalog import SnapshotCatalog
+    from web_scrapers_python_spark.sources.seeds import read_seeds
+
+    spark = build_spark(cpus)
+    try:
+        # partition the cached corpus to the core count: the fetch join
+        # is broadcast-side (no shuffle), so downstream parse parallelism
+        # equals the pages partitioning — parquet split count (~128MB
+        # splits) would cap it far below the executor count
+        pages = spark.read.parquet(pages_path).repartition(cpus * 3).cache()
+        pages.count()
+        rows = G.host_policy_rows(SEED, cfg["n_hosts"])
+        for row in rows:
+            row["max_per_round"] = cfg["budget"]
+        policy = spark.createDataFrame(
+            rows, "host string, crawl_delay double, max_per_round int, "
+                  "robots_disallow array<string>")
+        ccfg = CrawlConfig(n_salts=cfg["salts"], use_bloom=False,
+                           default_budget=cfg["budget"])
+
+        # codegen/JIT warm-up: structurally identical, small
+        warm_wh = tempfile.mkdtemp(prefix=f"warm{cpus}-", dir=workdir)
+        warm = CrawlEngine(
+            spark, pages, policy, SnapshotCatalog(spark, warm_wh), ccfg)
+        warm.run(read_seeds(spark, write_seeds(
+            workdir, "warm_seeds.txt", cfg["warm_seeds"], cfg)),
+            max_rounds=cfg["rounds"])
+        shutil.rmtree(warm_wh, ignore_errors=True)
+
+        wh = tempfile.mkdtemp(prefix=f"run{cpus}-", dir=workdir)
+        eng = CrawlEngine(
+            spark, pages, policy, SnapshotCatalog(spark, wh), ccfg)
+        seeds = read_seeds(spark, write_seeds(
+            workdir, "seeds.txt", cfg["n_seeds"], cfg))
+        t0 = time.time()
+        metrics = eng.run(seeds, max_rounds=cfg["rounds"])
+        dt = time.time() - t0
+        shutil.rmtree(wh, ignore_errors=True)
+        scheduled = sum(m["scheduled"] for m in metrics)
+        parsed = sum(m["articles_scraped"] for m in metrics)
+        return {
+            "cpus": cpus,
+            "rounds": [
+                {k: v for k, v in m.items() if not k.startswith("_")}
+                | {"timings": m.get("_timings", {})}
+                for m in metrics
+            ],
+            "urls_scheduled": scheduled,
+            "articles_parsed": parsed,
+            "sec": round(dt, 2),
+            "urls_per_sec": round((scheduled + parsed) / dt, 2),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--run-level", type=int, default=None,
+                    help="internal: run one level in this process")
+    ap.add_argument("--pages", default=None)
+    args = ap.parse_args()
+    cfg = SMALL if args.small else FULL
+    workdir = args.workdir or tempfile.mkdtemp(prefix="scaling-bench-")
+
+    if args.run_level is not None:
+        # child mode: one level per process — a fresh JVM per level so
+        # the previous level's heap/cache can't skew the measurement
+        res = run_level(args.run_level, args.pages, workdir, cfg)
+        print("RESULT " + json.dumps(res))
+        return
+
+    levels = [int(x) for x in args.levels.split(",")]
+    t0 = time.time()
+    pages_path = gen_corpus(workdir, cfg)
+    gen_sec = round(time.time() - t0, 1)
+
+    import subprocess
+    results = {}
+    for idx, cpus in enumerate(levels):
+        if idx:
+            os.sync()
+            time.sleep(15)   # let the previous JVM's I/O and page cache settle
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--run-level", str(cpus), "--pages", pages_path,
+               "--workdir", workdir] + (["--small"] if args.small else [])
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              cwd=os.path.dirname(os.path.dirname(
+                                  os.path.abspath(__file__))))
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("RESULT ")]
+        if not line:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"level {cpus} failed")
+        results[cpus] = json.loads(line[-1][len("RESULT "):])
+        print(f"LEVEL local[{cpus}]: {results[cpus]['urls_per_sec']} urls/s "
+              f"({results[cpus]['sec']}s)", file=sys.stderr)
+
+    lo, hi = min(levels), max(levels)
+    factor = hi / lo
+    eff = results[hi]["urls_per_sec"] / (factor * results[lo]["urls_per_sec"])
+    out = {
+        "config": cfg, "gen_sec": gen_sec,
+        "levels": {str(k): v for k, v in results.items()},
+        "scaling": {
+            "n_cores": lo, "four_n_cores": hi, "factor": factor,
+            "rate_n": results[lo]["urls_per_sec"],
+            "rate_4n": results[hi]["urls_per_sec"],
+            "efficiency": round(eff, 3),
+            "target": 0.8,
+            "pass": eff >= 0.8,
+        },
+    }
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,21 +89,34 @@ class CrawlEngine:
             .select(*FRONTIER_COLS)
         )
         f = D.first_wins(f, "url_hash", "seq")
-        seen = f.select(
+        fs = self.catalog.write_snapshot("frontier", f, {"round": -1})
+        # derive seen from the *written* frontier snapshot — the seeds
+        # decode/identity/dedup chain runs once, not once per write
+        seen = self.catalog.read("frontier").select(
             "url_hash", "url", "host_bucket",
             F.lit(0).alias("first_round"), F.lit(0).alias("last_round"),
             F.lit(0).alias("scrape_count"), F.lit("pending").alias("status"),
         )
-        fs = self.catalog.write_snapshot("frontier", f, {"round": -1})
         ss = self.catalog.write_snapshot("seen", seen, {"round": -1})
         self.catalog.commit_round(-1, {"frontier": fs, "seen": ss})
 
     # -- one round -------------------------------------------------------------
     def run_round(self, r: int) -> dict:
+        import time as _time
+        _t0 = _time.time()
+        _tm: dict[str, float] = {}
+
+        def _mark(key: str) -> None:
+            nonlocal _t0
+            now = _time.time()
+            _tm[key] = round(now - _t0, 3)
+            _t0 = now
+
         cfg = self.cfg
         frontier = self.catalog.read("frontier")
         seen = self.catalog.read("seen")
         max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
+        _mark("t_read_state")
 
         pending = frontier.where(F.col("state") == "pending")
         if cfg.max_depth is not None:
@@ -137,8 +150,8 @@ class CrawlEngine:
         parse_eff = parse_rows.where(is_parse).withColumn(
             "parser", P.U.select_parser_id(F.col("url"), F.col("parser"))
         ).where(F.col("parser").isNotNull())
-        articles = P.parse_articles(parse_eff).withColumn("round", F.lit(r))
-        articles = P.add_ai_analysis(articles)
+        articles = P.parse_articles(parse_eff, analyze=True) \
+                    .withColumn("round", F.lit(r))
 
         # E1: link expansion from discover rows
         children = L.expand_links(discover_rows, cfg.n_buckets,
@@ -156,12 +169,14 @@ class CrawlEngine:
         fresh = assign_global_seq(
             fresh.drop("seq"), ["parent_seq", "pos"], start=max_seq + 1
         )
+        # cached: consumed twice (frontier union + seen inserts) — the
+        # dedup + global-seq chain must not run once per write
         fresh_frontier = fresh.select(
             "url", "url_hash", "host", "host_bucket", "depth", "priority",
             "parser", "label", "discovered_from", "seq",
             F.lit(r + 1).alias("round"), F.lit("pending").alias("state"),
             F.lit(0).alias("retry_count"),
-        )
+        ).cache()
 
         # frontier state transitions
         fetched_keys = fetched.select("url_hash").withColumn("_new", F.lit("fetched"))
@@ -215,12 +230,16 @@ class CrawlEngine:
         # commits (each write is one snapshot; the round tag makes the
         # group atomic-at-resume — E5)
         snaps = {}
+        _mark("t_plan")
         snaps["articles"] = self.catalog.write_snapshot(
             "articles", articles, {"round": r}, mode="append")
+        _mark("t_write_articles")
         snaps["frontier"] = self.catalog.write_snapshot(
             "frontier", new_frontier, {"round": r})
+        _mark("t_write_frontier")
         snaps["seen"] = self.catalog.write_snapshot(
             "seen", new_seen, {"round": r})
+        _mark("t_write_seen")
 
         # A1/A4 metrics from the committed snapshots (exact, idempotent).
         # One grouped pass over transitions + one conditional agg over the
@@ -255,14 +274,17 @@ class CrawlEngine:
             "pending_after": int(nf_row["pending"] or 0),
         }
         mdf = self.spark.createDataFrame(
-            [(r, k, int(v)) for k, v in metrics.items() if k != "round"],
+            [(r, k, int(v)) for k, v in metrics.items()
+             if k != "round" and not k.startswith("_")],
             "round int, metric string, value long",
         ).withColumn("round", F.lit(r))
         snaps["round_metrics"] = self.catalog.write_snapshot(
             "round_metrics", mdf, {"round": r}, mode="append")
         self.catalog.commit_round(r, snaps)
-        for df in (scheduled, fetched, children, blocked):
+        for df in (scheduled, fetched, children, blocked, fresh_frontier):
             df.unpersist()
+        _mark("t_metrics")
+        metrics["_timings"] = _tm
         return metrics
 
     # -- loop -------------------------------------------------------------------

@@ -133,9 +133,9 @@ def children_of(seed: int, i: int, n: int) -> list[int]:
     return out
 
 
-def _body_words(seed: int, i: int) -> str:
+def _body_words(seed: int, i: int, body_scale: int = 1) -> str:
     h = _h(seed, i, "bodylen")
-    n_words = 30 + h % 1500
+    n_words = (30 + h % 1500) * body_scale
     words = []
     for w in range(n_words):
         hw = _h(seed, i, f"w{w}")
@@ -158,11 +158,15 @@ def _links_html(seed: int, i: int, n: int, n_hosts: int) -> str:
     )
 
 
-def html_of(seed: int, i: int, n: int, n_hosts: int) -> bytes:
+def html_of(seed: int, i: int, n: int, n_hosts: int,
+            body_scale: int = 1) -> bytes:
+    """body_scale multiplies body length (default 1 = ~0.2-9 KB pages;
+    4-8 approximates real Common-Crawl page weight). Deterministic in
+    (seed, i) for any fixed scale."""
     host = host_of(seed, i, n_hosts)
     variant = _h(seed, i, "tpl") % 8
     title = f"Story {i} about {TOPIC_WORDS[_h(seed, i, 'tw') % len(TOPIC_WORDS)]}"
-    body = _body_words(seed, i)
+    body = _body_words(seed, i, body_scale)
     links = _links_html(seed, i, n, n_hosts)
     author = f"Reporter {i % 97}"
     desc = f"Summary of story {i} with data and analysis."
@@ -214,9 +218,10 @@ def html_of(seed: int, i: int, n: int, n_hosts: int) -> bytes:
     return html.encode("utf-8")
 
 
-def build_page(seed: int, i: int, n: int, n_hosts: int) -> dict:
+def build_page(seed: int, i: int, n: int, n_hosts: int,
+               body_scale: int = 1) -> dict:
     url = url_of(seed, i, n_hosts)
-    html = html_of(seed, i, n, n_hosts)
+    html = html_of(seed, i, n, n_hosts, body_scale)
     parser = ref.select_parser_id(url)
     text = None
     if parser == "weibo":
@@ -234,13 +239,15 @@ def build_page(seed: int, i: int, n: int, n_hosts: int) -> dict:
     }
 
 
-def pages_pdf(seed: int, lo: int, hi: int, n: int, n_hosts: int) -> pd.DataFrame:
-    rows = [build_page(seed, i, n, n_hosts) for i in range(lo, hi)]
+def pages_pdf(seed: int, lo: int, hi: int, n: int, n_hosts: int,
+              body_scale: int = 1) -> pd.DataFrame:
+    rows = [build_page(seed, i, n, n_hosts, body_scale)
+            for i in range(lo, hi)]
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
 def generate_pages(spark, n: int, n_hosts: int = 64, seed: int = 42,
-                   partitions: int | None = None):
+                   partitions: int | None = None, body_scale: int = 1):
     """Distributed generation: pure function of the row index — no
     shuffle, no driver materialization; scales linearly with cores."""
     parts = partitions or spark.sparkContext.defaultParallelism
@@ -250,7 +257,8 @@ def generate_pages(spark, n: int, n_hosts: int = 64, seed: int = 42,
             ids = b["id"].to_numpy()
             if len(ids):
                 yield pd.DataFrame(
-                    [build_page(seed, int(i), n, n_hosts) for i in ids],
+                    [build_page(seed, int(i), n, n_hosts, body_scale)
+                     for i in ids],
                     columns=["url", "warc_ts", "html", "text", "lang"],
                 )
 
