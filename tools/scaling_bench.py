@@ -49,6 +49,7 @@ def build_spark(cpus: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -90,12 +91,15 @@ def run_level(cpus: int, pages_path: str, workdir: str, cfg: dict) -> dict:
 
     spark = build_spark(cpus)
     try:
-        # partition the cached corpus to the core count: the fetch join
-        # is broadcast-side (no shuffle), so downstream parse parallelism
-        # equals the pages partitioning — parquet split count (~128MB
-        # splits) would cap it far below the executor count
-        pages = spark.read.parquet(pages_path).repartition(cpus * 3).cache()
-        pages.count()
+        # The corpus is NOT cached: at body_scale=6 it is ~18 GB
+        # deserialized (heap thrash at any local[*] size), and at the
+        # 10^10 design point caching is impossible anyway — rounds scan
+        # the columnar store with column pruning (url+html only; the
+        # fetch joins are broadcast-side so pages never shuffle) and the
+        # OS page cache holds the hot compressed bytes. Parallelism
+        # comes from the split size set in build_spark.
+        pages = spark.read.parquet(pages_path)
+        pages.count()   # warm the file-system cache / footer parsing
         rows = G.host_policy_rows(SEED, cfg["n_hosts"])
         for row in rows:
             row["max_per_round"] = cfg["budget"]

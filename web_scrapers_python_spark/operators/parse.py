@@ -209,6 +209,21 @@ def python_word_count_udf(content: pd.Series) -> pd.Series:
                      dtype="int32")
 
 
+# CRITICAL plan property: the parse UDFs must be opaque to the
+# optimizer. They are pure functions, but if Catalyst treats them as
+# deterministic it will happily push a `_a.ok IS NOT NULL` filter (which
+# references the UDF) below the scheduled-batch join — evaluating the
+# parser over the ENTIRE pages corpus instead of the joined batch (60x
+# at bench scale; unbounded at 10^10) — and duplicate the evaluation
+# once for the filter and once for the projection. asNondeterministic
+# pins each UDF to exactly one evaluation at its authored position.
+parse_generic_news_udf = parse_generic_news_udf.asNondeterministic()
+parse_weibo_udf = parse_weibo_udf.asNondeterministic()
+parse_news_analyzed_udf = parse_news_analyzed_udf.asNondeterministic()
+parse_weibo_analyzed_udf = parse_weibo_analyzed_udf.asNondeterministic()
+extract_links_udf = extract_links_udf.asNondeterministic()
+
+
 def parse_articles(fetched: DataFrame, parser_col: str = "parser",
                    html_col: str = "html", url_col: str = "url",
                    analyze: bool = False) -> DataFrame:

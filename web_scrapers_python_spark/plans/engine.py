@@ -129,25 +129,34 @@ class CrawlEngine:
             cfg.default_budget, cfg.n_salts,
         ).select(*FRONTIER_COLS).cache()
 
-        # J4: pages ⋈ broadcast(scheduled) inner; misses recovered by a
-        # broadcast anti-join (scheduled is the small side both times).
-        fetched = self.pages.select("url", "html").join(
-            F.broadcast(scheduled), "url", "inner"
-        ).cache()
-        missing = scheduled.join(
-            F.broadcast(fetched.select("url")), "url", "left_anti"
-        )
-
-        # E2 phase split
+        # J4: pages ⋈ broadcast(scheduled) inner, split per phase BEFORE
+        # the join so each branch streams html straight from the pages
+        # cache into its UDF. html is NEVER cached or shuffled — caching
+        # the joined rows would double-buffer the whole fetched payload
+        # (memory-eviction thrash that also destroys core scaling); only
+        # the narrow key set materializes. Misses (scheduled URLs absent
+        # from the corpus) come from a key-level anti-join.
         is_parse = F.col("label") == "PARSE"
         is_discover = F.col("label").isNotNull() & ~is_parse
-        parse_rows = fetched.where(is_parse | F.col("label").isNull())
-        discover_rows = fetched.where(is_discover)
+        sched_parse = scheduled.where(is_parse)
+        sched_discover = scheduled.where(is_discover)
+
+        page_urls = self.pages.select("url")
+        fetched = page_urls.join(
+            F.broadcast(scheduled.select("url", "url_hash")), "url", "inner"
+        ).select("url_hash").cache()
+        missing = scheduled.select("url_hash").join(
+            F.broadcast(fetched), "url_hash", "left_anti")
+
+        parse_rows = self.pages.select("url", "html").join(
+            F.broadcast(sched_parse), "url", "inner")
+        discover_rows = self.pages.select("url", "html").join(
+            F.broadcast(sched_discover), "url", "inner")
 
         # P3/P1: parser dispatch + parse. Reference routing parses only
         # label='PARSE' rows (routes.py:61-100); label-null rows are
         # fetched but neither discovered-from nor parsed (routes.py:33-39).
-        parse_eff = parse_rows.where(is_parse).withColumn(
+        parse_eff = parse_rows.withColumn(
             "parser", P.U.select_parser_id(F.col("url"), F.col("parser"))
         ).where(F.col("parser").isNotNull())
         articles = P.parse_articles(parse_eff, analyze=True) \
