@@ -41,6 +41,14 @@ SIMHASH_CHUNKS = 4          # 8-bit chunks -> catches hamming <= 3
 # Exact dedup (the reference's semantics: sha256(content)[:16])
 # ---------------------------------------------------------------------------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition tiny inputs to the cluster's parallelism: a few-MB
+    parquet file arrives as ONE split, which would single-thread the
+    shingle fan-out (hundreds of shingles per row) no matter how many
+    cores exist. The shuffle is on the small pre-explode rows — cheap."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """First-wins exact dedup on the reference's content hash
@@ -70,16 +78,21 @@ def exact_dedup_sql(table: str, id_col: str = "doc_id",
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """(id, sig_00..sig_NN): MinHash over distinct char-7-gram shingles.
-    Map-only — one sha256 per shingle, then NUM_HASHES universal-hash
-    mins over the reused hash array (JVM higher-order funcs)."""
+
+    Spelled as explode → hash-aggregate of NUM_HASHES ``min`` functions
+    rather than ``array_min(transform(...))``: higher-order array
+    functions are interpreted (no whole-stage codegen) and were ~10x
+    slower, while min-aggregates are codegen'd with map-side partial
+    aggregation — one narrow shuffle keyed by doc id, linear at any
+    corpus size."""
     norm = H.normalize_text(F.col(text_col))
-    hs = F.transform(H.char_shingles(norm, SHINGLE_K), lambda s: H.h31(s))
-    out = df.withColumn("_hs", hs).select(
-        id_col,
-        *[F.array_min(F.transform(F.col("_hs"), lambda h: H.perm(h, i)))
-          .alias(f"sig_{i:02d}") for i in range(NUM_HASHES)],
-    )
-    return out
+    exploded = _spread(df).select(
+        F.col(id_col),
+        F.explode(H.char_shingles(norm, SHINGLE_K)).alias("_sh"),
+    ).withColumn("_h", H.h31(F.col("_sh")))
+    return exploded.groupBy(id_col).agg(
+        *[F.min(H.perm(F.col("_h"), i)).alias(f"sig_{i:02d}")
+          for i in range(NUM_HASHES)])
 
 
 def minhash_signatures_sql(table: str, id_col: str = "doc_id",
@@ -128,27 +141,41 @@ def minhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    shing = df.select(
-        F.col(id_col),
-        H.char_shingles(H.normalize_text(F.col(text_col)), SHINGLE_K)
-        .alias("_sh"),
-    )
-    pairs = (
-        cand.join(shing.withColumnRenamed(id_col, "id_a")
-                  .withColumnRenamed("_sh", "_sa"), "id_a")
-        .join(shing.withColumnRenamed(id_col, "id_b")
-              .withColumnRenamed("_sh", "_sb"), "id_b")
-        .select(
-            "id_a", "id_b",
-            (F.size(F.array_intersect("_sa", "_sb")).cast("double")
-             / F.size(F.array_union("_sa", "_sb"))).alias("jaccard"),
-        )
+    pairs = _exact_jaccard(df, cand, id_col, text_col) \
         .where(F.col("jaccard") >= threshold)
-    )
     if top_k is not None:
         pairs = pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b") \
                      .limit(top_k)
     return pairs
+
+
+def _exact_jaccard(df: DataFrame, cand: DataFrame, id_col: str,
+                   text_col: str) -> DataFrame:
+    """Exact char-shingle Jaccard for candidate (id_a, id_b) pairs via
+    explode + count-common (codegen aggregates; the array_intersect
+    spelling is interpreted and quadratic in shingle count). Pairs with
+    zero common shingles are not produced (their jaccard is 0)."""
+    shing = _spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(H.char_shingles(H.normalize_text(F.col(text_col)),
+                                  SHINGLE_K)).alias("_sh"))
+    sizes = shing.groupBy("_id").agg(F.count("*").alias("_n"))
+    common = (
+        cand.join(shing.withColumnRenamed("_id", "id_a"), "id_a")
+        .join(shing.withColumnRenamed("_id", "id_b"), ["id_b", "_sh"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("_common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed("_id", "id_a")
+              .withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b")
+              .withColumnRenamed("_n", "_nb"), "id_b")
+        .select("id_a", "id_b",
+                (F.col("_common").cast("double")
+                 / (F.col("_na") + F.col("_nb") - F.col("_common")))
+                .alias("jaccard"))
+    )
 
 
 def minhash_dup_pairs_sql(table: str, id_col: str = "doc_id",
@@ -184,7 +211,8 @@ SELECT id_a, id_b,
 FROM cand
 JOIN shing sa ON sa.{id_col} = cand.id_a
 JOIN shing sb ON sb.{id_col} = cand.id_b
-WHERE cast(len(list_intersect(sa.sh, sb.sh)) as double)
+WHERE len(list_intersect(sa.sh, sb.sh)) > 0
+  AND cast(len(list_intersect(sa.sh, sb.sh)) as double)
         / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
 {lim}
 """
@@ -199,6 +227,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     """(id, simhash): 32-bit SimHash over distinct word tokens.
     Map-only; bit-majority computed as a sum over the token-hash array
     per bit (JVM aggregate — no explode, no shuffle)."""
+    df = _spread(df)
     norm = H.normalize_text(F.col(text_col))
     hs = F.transform(H.word_tokens(norm), lambda t: H.h32(t))
     def bit_sum(b: int):
@@ -269,20 +298,32 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """Exact char-7-gram Jaccard for all pairs within a blocking key
     (e.g. same source/host) — the quadratic stays inside blocks.
     Returns the global top-k most-similar pairs (deterministic order)."""
-    shing = df.select(
-        F.col(block_col).alias("_blk"), F.col(id_col),
-        H.char_shingles(H.normalize_text(F.col(text_col)), SHINGLE_K)
-        .alias("_sh"))
+    shing = _spread(df).select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("_id"),
+        F.explode(H.char_shingles(H.normalize_text(F.col(text_col)),
+                                  SHINGLE_K)).alias("_sh"))
+    sizes = shing.groupBy("_blk", "_id").agg(F.count("*").alias("_n"))
+    # co-occurrence join on (block, shingle): only pairs that share at
+    # least one shingle materialize (jaccard-0 pairs never exist), and
+    # the shuffle key is the shingle — codegen aggregates, no
+    # interpreted array ops, no all-pairs blow-up within a block
     a, b = shing.alias("a"), shing.alias("b")
+    common = (
+        a.join(b, ["_blk", "_sh"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_common"))
+    )
     pairs = (
-        a.join(b, "_blk")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (F.size(F.array_intersect("a._sh", "b._sh")).cast("double")
-             / F.size(F.array_union("a._sh", "b._sh"))).alias("jaccard"),
-        )
+        common
+        .join(sizes.select(F.col("_id").alias("id_a"),
+                           F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"),
+                           F.col("_n").alias("_nb")), "id_b")
+        .select("id_a", "id_b",
+                (F.col("_common").cast("double")
+                 / (F.col("_na") + F.col("_nb") - F.col("_common")))
+                .alias("jaccard"))
     )
     return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(top_k)
 
@@ -298,5 +339,6 @@ SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
        cast(len(list_intersect(a.sh, b.sh)) as double)
          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
 FROM shing a JOIN shing b ON a.blk = b.blk AND a.{id_col} < b.{id_col}
+WHERE len(list_intersect(a.sh, b.sh)) > 0
 ORDER BY jaccard DESC, id_a, id_b LIMIT {top_k}
 """

@@ -60,6 +60,9 @@ def brute_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     corpus side streams through a broadcast of the (small) query set —
     at scale the roles flip or the LSH path takes over."""
     def prep(df: DataFrame, role: str) -> DataFrame:
+        if role == "neighbor":   # corpus side carries the per-pair work
+            df = df.repartition(
+                df.sparkSession.sparkContext.defaultParallelism)
         dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         return df.select(
             F.col(id_col).alias(f"{role}_id"), dv.alias(f"_{role}v"),
@@ -109,7 +112,10 @@ def _signature(vec: Column, dim: int) -> Column:
 
 def lsh_signatures(df: DataFrame, dim: int, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
-    """(id, sig ARRAY<INT>, bucket STRING) — map-only signature stage."""
+    """(id, sig ARRAY<INT>, bucket STRING) — map-only signature stage.
+    Input repartitioned to cluster parallelism: small single-file
+    inputs would otherwise single-thread the hyperplane dot products."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sig = _signature(F.col(vec_col), dim)
     return df.select(
         F.col(id_col), F.col(vec_col), sig.alias("sig"),
