@@ -102,6 +102,30 @@ def test_engine_matches_simulator(spark, pages, policy, seeds_df, golden,
     _assert_matches_golden(cat, metrics, golden)
 
 
+def test_weibo_posts_table_parity(spark, pages, policy, seeds_df, golden,
+                                  tmp_path):
+    """The engine persists WeiboPost rows (weibo.py:15-24) as their own
+    table; every stored post must byte-match the transcribed reference
+    parser on the same html, and every fetched weibo page with
+    parseable content must be stored."""
+    cat, _ = _run_engine(spark, pages, policy, seeds_df, tmp_path)
+    posts = {r["url"]: r for r in cat.read("weibo_posts").collect()}
+    pages_d = _pages_dict()
+    from web_scrapers_python_spark.oracle import extract as ox
+    expected = {}
+    for a in golden.articles:     # golden = parsed (PARSE-labeled) fetches
+        u = a["url"]
+        if ref.select_parser_id(u) == "weibo":
+            p = ox.parse_weibo(pages_d[u], u)
+            if p is not None:
+                expected[u] = p
+    assert set(posts) == set(expected)
+    for u, row in posts.items():
+        want = expected[u]
+        for f in ("id", "author", "content", "likes", "reposts", "comments"):
+            assert row[f] == want[f], (u, f)
+
+
 def test_scheduled_sets_per_round(spark, pages, policy, seeds_df, golden,
                                   tmp_path):
     """Round-r scheduled set == simulator round-r scheduled set (exact)."""

@@ -161,6 +161,23 @@ class CrawlEngine:
         ).where(F.col("parser").isNotNull())
         articles = P.parse_articles(parse_eff, analyze=True) \
                     .withColumn("round", F.lit(r))
+        # WeiboPost is a distinct schema in the reference (weibo.py:15-24
+        # incl. engagement metrics); persist it as its own table. The
+        # weibo subset is tiny (~5% of pages) so the re-parse is noise.
+        weibo_posts = (
+            parse_eff.where(F.col("parser") == "weibo")
+            .withColumn("_w", P.parse_weibo_udf(F.col("html"), F.col("url")))
+            .where(F.col("_w.ok").isNotNull())
+            .select(
+                F.col("url"),
+                F.col("_w.id").alias("id"),
+                F.col("_w.author").alias("author"),
+                F.col("_w.content").alias("content"),
+                F.col("_w.likes").alias("likes"),
+                F.col("_w.reposts").alias("reposts"),
+                F.col("_w.comments").alias("comments"),
+            ).withColumn("round", F.lit(r))
+        )
 
         # E1: link expansion from discover rows
         children = L.expand_links(discover_rows, cfg.n_buckets,
@@ -242,6 +259,8 @@ class CrawlEngine:
         _mark("t_plan")
         snaps["articles"] = self.catalog.write_snapshot(
             "articles", articles, {"round": r}, mode="append")
+        snaps["weibo_posts"] = self.catalog.write_snapshot(
+            "weibo_posts", weibo_posts, {"round": r}, mode="append")
         _mark("t_write_articles")
         snaps["frontier"] = self.catalog.write_snapshot(
             "frontier", new_frontier, {"round": r})
