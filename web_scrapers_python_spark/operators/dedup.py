@@ -79,13 +79,16 @@ def _positions(key: str, m: int, k: int) -> np.ndarray:
 
 def build_bloom_filters(seen: DataFrame, key: str = "url_hash",
                         bucket_col: str = "host_bucket",
-                        fp_rate: float = 0.01) -> DataFrame:
+                        fp_rate: float = 0.01,
+                        capacity: int | None = None) -> DataFrame:
     """Per-bucket bloom build via applyInPandas (grouped-map; each group
-    fits one executor — buckets are sized for that)."""
+    fits one executor — buckets are sized for that). ``capacity`` sizes
+    the filter for future incremental inserts (merge_bloom_filters)
+    instead of just the current key count."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = pdf[key].dropna().to_numpy()
-        m, k = _bloom_params(len(keys), fp_rate)
+        m, k = _bloom_params(max(len(keys), capacity or 0), fp_rate)
         bits = np.zeros(m // 8, dtype=np.uint8)
         for s in keys:
             for p in _positions(s, m, k):
@@ -99,6 +102,70 @@ def build_bloom_filters(seen: DataFrame, key: str = "url_hash",
         }])
 
     return seen.groupBy(bucket_col).applyInPandas(build, BLOOM_SCHEMA)
+
+
+# A bucket whose expected FP rate has outgrown its bit array degrades to
+# an empty sentinel filter (n_bits=0): the probe then treats every key
+# as a suspect (exact anti-join path) until the next full rebuild —
+# correctness never depends on the filter content.
+DEGRADE_FP = 0.05
+
+
+def _expected_fp(m: int, k: int, n: int) -> float:
+    if m <= 0:
+        return 1.0
+    return (1.0 - math.exp(-k * n / m)) ** k
+
+
+def merge_bloom_filters(filters: DataFrame, new_keys: DataFrame,
+                        key: str = "url_hash",
+                        bucket_col: str = "host_bucket",
+                        fp_rate: float = 0.01,
+                        capacity: int | None = None) -> DataFrame:
+    """Incremental seen-filter maintenance: OR this round's new keys
+    into the existing per-bucket filters (cogrouped applyInPandas) —
+    O(round delta), NOT O(seen). At the 10^10 design point a full
+    rebuild touches the entire seen set every round; the incremental
+    merge touches only the round's discoveries. Buckets with no prior
+    filter are built fresh (sized by ``capacity``); buckets whose
+    expected FP exceeds DEGRADE_FP emit the degraded sentinel."""
+
+    def merge(kdf: pd.DataFrame, fdf: pd.DataFrame) -> pd.DataFrame:
+        if len(kdf):
+            bucket = int(kdf[bucket_col].iloc[0])
+        else:
+            bucket = int(fdf[bucket_col].iloc[0])
+        keys = kdf[key].dropna().to_numpy() if len(kdf) else []
+        if len(fdf):
+            row = fdf.iloc[0]
+            m, k, n = int(row["n_bits"]), int(row["n_hashes"]), int(row["n_items"])
+            if m == 0:      # already degraded
+                return fdf[["host_bucket", "filter", "n_bits", "n_hashes",
+                            "n_items"]]
+            bits = np.frombuffer(row["filter"], dtype=np.uint8).copy()
+        else:
+            m, k = _bloom_params(max(len(keys), capacity or 0), fp_rate)
+            n = 0
+            bits = np.zeros(m // 8, dtype=np.uint8)
+        n_total = n + len(keys)
+        if _expected_fp(m, k, n_total) > DEGRADE_FP:
+            return pd.DataFrame([{
+                "host_bucket": bucket, "filter": b"", "n_bits": 0,
+                "n_hashes": 0, "n_items": n_total,
+            }])
+        for s in keys:
+            for p in _positions(s, m, k):
+                bits[p >> 3] |= 1 << (p & 7)
+        return pd.DataFrame([{
+            "host_bucket": bucket, "filter": bits.tobytes(), "n_bits": m,
+            "n_hashes": k, "n_items": n_total,
+        }])
+
+    return (
+        new_keys.select(bucket_col, key).groupBy(bucket_col)
+        .cogroup(filters.groupBy(bucket_col))
+        .applyInPandas(merge, BLOOM_SCHEMA)
+    )
 
 
 def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
@@ -122,7 +189,10 @@ def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
         out = []
         for s, fb, m, k in zip(keys, flt, n_bits, n_hashes):
             if fb is None or pd.isna(m):
-                out.append(False)
+                out.append(False)      # bucket has no seen keys at all
+                continue
+            if int(m) == 0:
+                out.append(True)       # degraded bucket: always confirm
                 continue
             bits = np.frombuffer(fb, dtype=np.uint8)
             hit = True

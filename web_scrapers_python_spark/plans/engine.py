@@ -52,6 +52,9 @@ class CrawlConfig:
     order: str = "fifo"          # 'fifo' (reference parity) | 'priority' (W1)
     n_salts: int = 0             # >0 → salted two-stage politeness window
     use_bloom: bool = False      # bloom pre-filter before exact anti-join
+    bloom_capacity: int = 100_000  # per-bucket sizing headroom for the
+                                   # incremental filter merge (10^10
+                                   # design point: ~2e7 per bucket)
     rediscover: bool = False     # False = reference two-phase routing
     max_retries: int = 3         # orchestrator.py:64
     max_depth: int | None = None
@@ -188,9 +191,21 @@ class CrawlEngine:
             ),
             "url_hash", "seq",
         ).cache()
+        # Seen-filter maintenance is INCREMENTAL: the per-bucket blooms
+        # are read from the previous round's snapshot and only this
+        # round's inserts are OR-ed in (O(delta), not O(seen) — a full
+        # rebuild per round would scan the entire 10^10 seen set). The
+        # full build runs once (first bloom round / resume from a
+        # pre-filter snapshot); overgrown buckets degrade to the exact
+        # path until a rebuild.
         filters = None
         if cfg.use_bloom:
-            filters = D.build_bloom_filters(seen, "url_hash", "host_bucket")
+            if self.catalog.current_snapshot("seen_filters"):
+                filters = self.catalog.read("seen_filters")
+            else:
+                filters = D.build_bloom_filters(
+                    seen, "url_hash", "host_bucket",
+                    capacity=cfg.bloom_capacity)
         fresh = D.dedup_against_seen(children, seen, filters)
         fresh = assign_global_seq(
             fresh.drop("seq"), ["parent_seq", "pos"], start=max_seq + 1
@@ -267,6 +282,13 @@ class CrawlEngine:
         _mark("t_write_frontier")
         snaps["seen"] = self.catalog.write_snapshot(
             "seen", new_seen, {"round": r})
+        if cfg.use_bloom:
+            snaps["seen_filters"] = self.catalog.write_snapshot(
+                "seen_filters",
+                D.merge_bloom_filters(
+                    filters, seen_inserts.select("host_bucket", "url_hash"),
+                    capacity=cfg.bloom_capacity),
+                {"round": r})
         _mark("t_write_seen")
 
         # A1/A4 metrics from the committed snapshots (exact, idempotent).
