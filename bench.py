@@ -36,8 +36,8 @@ BENCH_QUERIES = [
     "ann_brute_topk", "ann_lsh_topk", "mm_media_features",
 ]
 
-CRAWL_N, CRAWL_HOSTS, CRAWL_ROUNDS, CRAWL_SEEDS = 20000, 48, 3, 2048
-CRAWL_BUDGET = 4096          # bench politeness budget (throughput headline)
+CRAWL_N, CRAWL_HOSTS, CRAWL_ROUNDS, CRAWL_SEEDS = 40000, 128, 3, 6144
+CRAWL_BUDGET = 8192          # bench politeness budget (throughput headline)
 
 
 def build_spark(cpus: int):
