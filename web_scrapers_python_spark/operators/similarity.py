@@ -128,14 +128,21 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     """ANN top-k: candidates share at least one BAND_BITS-bit band of
     the hyperplane signature (multi-probe banding — recall knob), then
     exact cosine re-rank. Join key is (band_idx, band_bits): uniform,
-    shuffle-friendly, no cross join anywhere."""
+    shuffle-friendly, no cross join anywhere.
+
+    Shuffle discipline: the band join and the candidate `distinct()`
+    carry ONLY ids — vectors would otherwise cross the wire once per
+    band match AND sit inside the dedup's shuffle key (the round-1
+    scale bug). Embeddings are joined back exactly once per unique
+    candidate pair for the re-rank: query vectors via a broadcast
+    (query set is small by contract), corpus vectors via one hash join
+    on neighbor_id."""
     n_bands = N_PLANES // BAND_BITS
 
     def banded(df: DataFrame, role: str) -> DataFrame:
         s = lsh_signatures(df, dim, id_col, vec_col)
         return s.select(
             F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"_{role}v"),
             F.posexplode(F.array(*[
                 F.concat_ws("", *[
                     F.element_at(F.col("sig"), b * BAND_BITS + i + 1)
@@ -143,16 +150,29 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
                 for b in range(n_bands)
             ])).alias("band_idx", "band_bits"))
 
-    qb = banded(queries, "query")
-    cb = banded(corpus, "neighbor")
+    # id-only candidate generation + dedup (narrow shuffles)
+    cand = (
+        banded(queries, "query").join(banded(corpus, "neighbor"),
+                                      ["band_idx", "band_bits"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # vectors join back once per unique pair
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        dv.alias("_queryv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       dv.alias("_neighborv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (
-        qb.join(cb, ["band_idx", "band_bits"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_queryv", "_neighborv")
-        .distinct()
-        .withColumn("cosine_sim", cosine(F.col("_queryv"), F.col("_neighborv")))
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine_sim", _dot(F.col("_queryv"), F.col("_neighborv"))
+                    / (F.sqrt(_dot(F.col("_queryv"), F.col("_queryv")))
+                       * F.sqrt(_dot(F.col("_neighborv"),
+                                     F.col("_neighborv")))))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
