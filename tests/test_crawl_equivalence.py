@@ -158,6 +158,16 @@ def test_salted_politeness_equivalence(spark, pages, policy, seeds_df,
     _assert_matches_golden(cat, metrics, golden)
 
 
+def test_unbroadcast_fetch_join_equivalence(spark, pages, policy, seeds_df,
+                                            golden, tmp_path):
+    """fetch_broadcast_rows=0 forces the no-hint (AQE-chosen) side of
+    the J4 size gate — results must be identical to the broadcast
+    path."""
+    cfg = CrawlConfig(fetch_broadcast_rows=0)
+    cat, metrics = _run_engine(spark, pages, policy, seeds_df, tmp_path, cfg)
+    _assert_matches_golden(cat, metrics, golden)
+
+
 def test_resume_from_snapshot_identity(spark, pages, policy, seeds_df,
                                        golden, tmp_path):
     """Kill after round k, resume from the snapshot catalog → final state

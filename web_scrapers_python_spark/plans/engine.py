@@ -59,6 +59,13 @@ class CrawlConfig:
     max_retries: int = 3         # orchestrator.py:64
     max_depth: int | None = None
     max_rounds: int = 100
+    # J4 physical strategy: broadcast the scheduled batch into the pages
+    # join only while it is provably small. Beyond the threshold the
+    # hint is dropped and AQE picks the join from runtime stats (on a
+    # real warehouse: sort-merge against the url_hash-bucketed pages
+    # table, no pages shuffle). An unconditional broadcast of a
+    # budget x hosts batch OOMs the driver at the 10^10 design point.
+    fetch_broadcast_rows: int = 1_000_000
 
     def order_by(self) -> list:
         if self.order == "priority":
@@ -144,17 +151,24 @@ class CrawlEngine:
         sched_parse = scheduled.where(is_parse)
         sched_discover = scheduled.where(is_discover)
 
+        # size-gate the broadcast: scheduled is already cached, so the
+        # count is a cheap metadata-ish job and doubles as the batch-size
+        # signal the metrics layer wants anyway
+        n_scheduled_rows = scheduled.count()
+        _bcast = (F.broadcast if n_scheduled_rows <= cfg.fetch_broadcast_rows
+                  else (lambda df: df))
+
         page_urls = self.pages.select("url")
         fetched = page_urls.join(
-            F.broadcast(scheduled.select("url", "url_hash")), "url", "inner"
+            _bcast(scheduled.select("url", "url_hash")), "url", "inner"
         ).select("url_hash").cache()
         missing = scheduled.select("url_hash").join(
-            F.broadcast(fetched), "url_hash", "left_anti")
+            _bcast(fetched), "url_hash", "left_anti")
 
         parse_rows = self.pages.select("url", "html").join(
-            F.broadcast(sched_parse), "url", "inner")
+            _bcast(sched_parse), "url", "inner")
         discover_rows = self.pages.select("url", "html").join(
-            F.broadcast(sched_discover), "url", "inner")
+            _bcast(sched_discover), "url", "inner")
 
         # P3/P1: parser dispatch + parse. Reference routing parses only
         # label='PARSE' rows (routes.py:61-100); label-null rows are
