@@ -194,11 +194,16 @@ class TestTextStats:
                 (1, "der hund und die katze ist nicht hier"),
                 (2, "el perro y la casa que los gatos en un dia"),
                 (3, "le chien est dans les rues pour une heure"),
-                (4, "zzz qqq xxx")]
+                (4, "zzz qqq xxx"),
+                # unsegmented Chinese: no whitespace tokens, must match
+                # via character containment
+                (5, "我在这里的时候他说了很多话但是我不相信"),
+                (6, "今天的天气是很好的")]
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {r["doc_id"]: r["l"] for r in df.select(
             "doc_id", TS.langid(F.col("text")).alias("l")).collect()}
-        assert got == {0: "en", 1: "de", 2: "es", 3: "fr", 4: "unknown"}
+        assert got == {0: "en", 1: "de", 2: "es", 3: "fr", 4: "unknown",
+                       5: "zh", 6: "zh"}
 
     def test_token_counts(self, spark):
         df = spark.createDataFrame(
@@ -281,12 +286,24 @@ class TestStreaming:
             (F.col("id") * 1.5).alias("value"),
             F.lit("{}").alias("props"),
         )
-        events.write.mode("overwrite").parquet(src)
+        # watermark sentinel: one event far past the real data pushes the
+        # final watermark beyond every real window, so append mode (the
+        # production semantics run_to_memory now defaults to) finalizes
+        # and emits them; the sentinel's own (unfinalized) window is
+        # excluded from the comparison below.
+        sentinel = events.limit(1).select(
+            F.lit(99_999).alias("event_id"),
+            F.lit("2024-01-02 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(0).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"), F.lit("{}").alias("props"))
+        events.unionByName(sentinel).write.mode("overwrite").parquet(src)
 
         from web_scrapers_python_spark.streaming.metrics import run_to_memory
         got = run_to_memory(spark, src, "stream_counts_t")
         batch = (
             spark.read.parquet(src)
+            .where(F.col("event_type") != "sentinel")
             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.sum("value").alias("sum_value"))

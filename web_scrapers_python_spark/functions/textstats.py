@@ -139,16 +139,39 @@ def doc_quality_score_sql(e: str) -> str:
 # Language identification (stopword-profile argmax)
 # ---------------------------------------------------------------------------
 
+def _profile_count(nrm: Column, lang: str, words: list[str]) -> Column:
+    """Hits of one language profile against normalized text. Scripts
+    written without word separators (zh) can't be token-matched —
+    whitespace tokenization leaves one giant token that never equals a
+    single-character stopword — so zh counts profile-CHARACTER
+    occurrences instead (length delta after stripping them)."""
+    if lang == "zh":
+        char_class = "[" + "".join(words) + "]"
+        return F.length(nrm) - F.length(F.regexp_replace(nrm, char_class, ""))
+    toks = F.split(nrm, " ")
+    return F.size(F.filter(toks, lambda t: t.isin(*set(words))))
+
+
+def _profile_count_sql(nrm: str, lang: str, words: list[str]) -> str:
+    if lang == "zh":
+        char_class = "[" + "".join(words) + "]"
+        return (f"(len({nrm}) - len(regexp_replace({nrm}, "
+                f"'{char_class}', '', 'g')))")
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (f"len(list_filter(string_split({nrm}, ' '), "
+            f"t -> t IN ({inlist})))")
+
+
 def langid(text: Column) -> Column:
-    """Predicted language: argmax of per-language stopword-token hits
-    over LANG_PROFILES; 'unknown' when nothing matches. Ties resolve in
+    """Predicted language: argmax of per-language stopword hits over
+    LANG_PROFILES (token hits for space-separated scripts, character
+    hits for zh); 'unknown' when nothing matches. Ties resolve in
     profile order (en first) — mirrored by the CASE order in the SQL
     twin. Generalizes the reference's en/unknown detector
     (content_analyzer.py:359-370)."""
-    toks = F.split(H.normalize_text(text), " ")
+    nrm = H.normalize_text(text)
     counts = [
-        F.size(F.filter(toks, lambda t: t.isin(*set(words))))
-        for _, words in LANG_PROFILES
+        _profile_count(nrm, lang, words) for lang, words in LANG_PROFILES
     ]
     best = F.greatest(*counts)
     out = F.lit("unknown")
@@ -159,12 +182,9 @@ def langid(text: Column) -> Column:
 
 def langid_sql(e: str) -> str:
     nrm = H.normalize_text_sql(e)
-    cnt_exprs = []
-    for _, words in LANG_PROFILES:
-        inlist = ", ".join(f"'{w}'" for w in words)
-        cnt_exprs.append(
-            f"len(list_filter(string_split({nrm}, ' '), "
-            f"t -> t IN ({inlist})))")
+    cnt_exprs = [
+        _profile_count_sql(nrm, lang, words) for lang, words in LANG_PROFILES
+    ]
     best = f"greatest({', '.join(cnt_exprs)})"
     whens = "\n".join(
         f"WHEN {best} > 0 AND {cnt} = {best} THEN '{lang}'"

@@ -22,14 +22,17 @@ EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
 
 
 def stream_events(spark: SparkSession, path: str,
-                  max_files_per_trigger: int = 1) -> DataFrame:
+                  max_files_per_trigger: int | None = None) -> DataFrame:
     """Parquet file-stream source over an events directory (schema is
-    declared, never inferred — SURVEY §1.5)."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
-    )
+    declared, never inferred — SURVEY §1.5). ``max_files_per_trigger``
+    bounds per-batch work; the default (no bound) is right for
+    availableNow backfills — static parquet dumps are not time-ordered
+    across files, so per-file triggers would advance the watermark
+    mid-backfill and drop in-range events as late."""
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
@@ -48,14 +51,21 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
 
 
 def run_to_memory(spark: SparkSession, src_path: str, table: str,
-                  window: str = "1 hour", watermark: str = "2 hours"):
+                  window: str = "1 hour", watermark: str = "2 hours",
+                  output_mode: str = "append"):
     """Drive the stream with availableNow into an in-memory sink
-    (test/bench harness): processes all present files then stops."""
+    (test/bench harness): processes all present files then stops.
+
+    Default is append mode — the documented production semantics, where
+    the watermark finalizes and evicts window state. availableNow's
+    final no-more-data batch advances the watermark past every window
+    present in the input, so all windows emit. ``complete`` remains
+    available for sinks that want full-recompute snapshots."""
     q = (
         windowed_event_counts(stream_events(spark, src_path),
                               window, watermark)
         .writeStream.format("memory").queryName(table)
-        .outputMode("complete").trigger(availableNow=True).start()
+        .outputMode(output_mode).trigger(availableNow=True).start()
     )
     q.awaitTermination()
     return spark.table(table)
