@@ -131,6 +131,74 @@ def run_crawl(spark, n: int = CRAWL_N, n_hosts: int = CRAWL_HOSTS,
         shutil.rmtree(wh, ignore_errors=True)
 
 
+PROBE_SEEN_SMALL = 300_000
+
+
+def run_state_probe(spark) -> dict:
+    """Round-cost-vs-crawl-age probe: the same round workload on a seen
+    set of S vs 10S entries. With O(delta) state commits (seen event
+    log + pending-only frontier) round wall time must stay ~flat —
+    the driver's done-criterion is ratio <= 1.5. The synthetic seen
+    entries are injected as bootstrap-time insert events; round 0
+    (which pays the one-off full bloom build) is excluded, round 1
+    (the steady-state incremental path) is measured."""
+    from pyspark.sql import functions as F
+    from web_scrapers_python_spark.plans.engine import CrawlConfig, CrawlEngine
+    from web_scrapers_python_spark.sources import datagen as G
+    from web_scrapers_python_spark.sources.catalog import SnapshotCatalog
+    from web_scrapers_python_spark.sources.seeds import read_seeds
+
+    seed, n, n_hosts = 42, 3000, 64
+    pages = G.generate_pages(spark, n, n_hosts, seed).cache()
+    pages.count()
+    policy = spark.createDataFrame(
+        G.host_policy_rows(seed, n_hosts),
+        "host string, crawl_delay double, max_per_round int, "
+        "robots_disallow array<string>")
+
+    def one(n_extra: int) -> float:
+        wh = tempfile.mkdtemp(prefix="probe-")
+        try:
+            sd = os.path.join(wh, "seeds.txt")
+            with open(sd, "w") as f:
+                f.write(G.seeds_text(seed, n, n_hosts, 64))
+            cat = SnapshotCatalog(spark, wh)
+            eng = CrawlEngine(spark, pages, policy, cat,
+                              CrawlConfig(use_bloom=True, default_budget=8))
+            eng.bootstrap(read_seeds(spark, sd))
+            # age the crawl: n_extra synthetic already-seen URLs
+            synth = spark.range(n_extra).select(
+                F.substring(F.sha2(F.concat(F.lit("synth-"),
+                                            F.col("id").cast("string")),
+                                   256), 1, 16).alias("url_hash"),
+                F.concat(F.lit("https://synth.example.com/"),
+                         F.col("id").cast("string")).alias("url"),
+                F.pmod(F.col("id"), F.lit(64)).cast("int")
+                .alias("host_bucket"),
+                F.lit(0).alias("first_round"), F.lit(0).alias("last_round"),
+                F.lit(0).alias("scrape_count"),
+                F.lit("pending").alias("status"))
+            base = cat.last_complete_round()["snapshots"]
+            ss = cat.write_snapshot("seen", synth, {"round": -1},
+                                    mode="append")
+            cat.commit_round(-1, {**base, "seen": ss})
+            eng.run_round(0)          # pays the one-off full bloom build
+            t0 = time.time()
+            eng.run_round(1)          # steady-state incremental round
+            return round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    one(1000)  # warm codegen/plan caches so the first timed run is fair
+    t_small = one(PROBE_SEEN_SMALL)
+    t_big = one(PROBE_SEEN_SMALL * 10)
+    return {
+        "seen_small": PROBE_SEEN_SMALL, "t_round_small_sec": t_small,
+        "seen_big": PROBE_SEEN_SMALL * 10, "t_round_big_sec": t_big,
+        "round_cost_ratio_10x_seen": round(t_big / t_small, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -141,8 +209,11 @@ def main() -> None:
     try:
         crawl = run_crawl(spark)
         times = run_suite(spark, sf_dir)
+        probe = None
+        if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
+            probe = run_state_probe(spark)
         total = round(sum(times.values()) + crawl["sec"], 3)
-        print(json.dumps({
+        out = {
             "metric": "suite+crawl wall sec (headline: crawl urls/sec)",
             "value": total,
             "unit": "sec",
@@ -150,7 +221,10 @@ def main() -> None:
             "sf": sf,
             "cpus": cpus,
             "crawl": crawl,
-        }))
+        }
+        if probe is not None:
+            out["state_probe"] = probe
+        print(json.dumps(out))
     finally:
         spark.stop()
 

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from web_scrapers_python_spark.oracle import frontier_sim as sim
 from web_scrapers_python_spark.oracle import reference as ref
-from web_scrapers_python_spark.plans.engine import CrawlConfig, CrawlEngine
+from web_scrapers_python_spark.plans.engine import (
+    CrawlConfig, CrawlEngine, merged_seen, read_frontier_full)
 from web_scrapers_python_spark.sources import datagen as G
 from web_scrapers_python_spark.sources.catalog import SnapshotCatalog
 from web_scrapers_python_spark.sources.seeds import read_seeds
@@ -74,7 +75,7 @@ def _assert_matches_golden(cat, metrics, golden):
     # per-round scheduled URL sets (ordering within a round is parallel;
     # the cross-round order IS the crawl order)
     assert len(metrics) == len(golden.rounds)
-    frontier = cat.read("frontier")
+    frontier = read_frontier_full(cat)
     by_round_state = frontier.select("url", "round", "state", "seq").collect()
     # final seen set identical
     seen = {r["url_hash"] for r in cat.read("seen").select("url_hash").collect()}
@@ -134,7 +135,7 @@ def test_scheduled_sets_per_round(spark, pages, policy, seeds_df, golden,
     # a url's last_round flips to r when it is fetched in round r
     for g in golden.rounds:
         r = g["round"]
-        snap = cat.read("seen", snapshot_id=r + 1)  # snapshot 0 = bootstrap
+        snap = merged_seen(cat.read("seen", snapshot_id=r + 1))  # snap 0 = bootstrap
         fetched_r = {
             row["url"] for row in snap.where(
                 (F.col("last_round") == r) & (F.col("scrape_count") > 0)
@@ -166,6 +167,19 @@ def test_unbroadcast_fetch_join_equivalence(spark, pages, policy, seeds_df,
     cfg = CrawlConfig(fetch_broadcast_rows=0)
     cat, metrics = _run_engine(spark, pages, policy, seeds_df, tmp_path, cfg)
     _assert_matches_golden(cat, metrics, golden)
+
+
+def test_seen_compaction_equivalence(spark, pages, policy, seeds_df,
+                                     golden, tmp_path):
+    """Compacting the seen event log every round must not change any
+    observable state (merge is idempotent over disjoint event sets) —
+    and the bloom path must stay consistent across compactions."""
+    cfg = CrawlConfig(use_bloom=True, compact_seen_every=1)
+    cat, metrics = _run_engine(spark, pages, policy, seeds_df, tmp_path, cfg)
+    _assert_matches_golden(cat, metrics, golden)
+    # post-compaction the log IS the merged view: one row per url_hash
+    seen = cat.read("seen")
+    assert seen.count() == seen.select("url_hash").distinct().count()
 
 
 def test_resume_from_snapshot_identity(spark, pages, policy, seeds_df,
@@ -201,7 +215,7 @@ def _assert_state_equal(cat, golden):
 def test_robots_blocking(spark, pages, policy, seeds_df, tmp_path):
     """/private paths on robots-bearing hosts never get fetched."""
     cat, _ = _run_engine(spark, pages, policy, seeds_df, tmp_path)
-    frontier = cat.read("frontier").collect()
+    frontier = read_frontier_full(cat).collect()
     rules = _policy_dict()
     for r in frontier:
         dis = rules.get(r["host"], {}).get("robots_disallow", [])
@@ -230,7 +244,7 @@ def test_missing_page_retry_then_fail(spark, policy, tmp_path):
     cat = SnapshotCatalog(spark, str(tmp_path))
     eng = CrawlEngine(spark, pages, policy, cat, CrawlConfig(max_retries=3))
     metrics = eng.run(seeds, max_rounds=10)
-    ghost = [r for r in cat.read("frontier").collect()
+    ghost = [r for r in read_frontier_full(cat).collect()
              if "ghost" in r["url"]][0]
     assert ghost["state"] == "failed"
     assert ghost["retry_count"] == 3

@@ -139,9 +139,12 @@ def merge_bloom_filters(filters: DataFrame, new_keys: DataFrame,
         if len(fdf):
             row = fdf.iloc[0]
             m, k, n = int(row["n_bits"]), int(row["n_hashes"]), int(row["n_items"])
-            if m == 0:      # already degraded
-                return fdf[["host_bucket", "filter", "n_bits", "n_hashes",
-                            "n_items"]]
+            if m == 0:      # already degraded: keep counting inserts so
+                            # the rebuild can size the replacement filter
+                return pd.DataFrame([{
+                    "host_bucket": bucket, "filter": b"", "n_bits": 0,
+                    "n_hashes": 0, "n_items": n + len(keys),
+                }])
             bits = np.frombuffer(row["filter"], dtype=np.uint8).copy()
         else:
             m, k = _bloom_params(max(len(keys), capacity or 0), fp_rate)
@@ -212,5 +215,14 @@ def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
     ).select(*candidates.columns, "_maybe")
     definite_new = flagged.where(~F.col("_maybe")).drop("_maybe")
     suspects = flagged.where(F.col("_maybe")).drop("_maybe")
-    confirmed_new = anti_join_seen(suspects, seen, key)
+    # Exact check, seen-side-shuffle-free: a direct suspects-anti-seen
+    # would sort-merge BOTH sides — an O(seen) shuffle every round. The
+    # suspect set is round-delta-sized (true dups + bloom FPs), so flip
+    # it: stream the seen scan against the (AQE-broadcast-able) suspect
+    # key set to get the confirmed hits, then anti-join those back.
+    # seen is scanned (one pruned column) but never shuffled; no
+    # explicit broadcast hint, so an oversized suspect set degrades to
+    # SMJ instead of OOMing the driver.
+    hits = seen.select(key).join(suspects.select(key), key, "left_semi")
+    confirmed_new = suspects.join(hits, key, "left_anti")
     return definite_new.unionByName(confirmed_new)

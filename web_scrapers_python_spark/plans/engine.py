@@ -5,15 +5,34 @@ Per round r (all declarative; Catalyst/AQE pick physical strategies):
 
   frontier(pending) ─ robots split (broadcast host_policy)
       → per-host politeness top-B (salted window, W2)
-      → fetch = inner join pages ⋈ broadcast(scheduled)   (J4)
+      → fetch = inner join pages ⋈ scheduled (size-gated broadcast, J4)
       → phase split on label (E2): discover | parse
       → discover: link expansion (E1) → first-wins (J2)
                   → bloom + exact anti-join vs seen (J1)
                   → deterministic seq assignment (O1)
       → parse: parser dispatch (F9/P3) → pandas-UDF parsers (P1)
                → AI analysis stage (P4/P5)
-      → writes: articles append, seen merge (J3), frontier state,
+      → writes: articles append, seen EVENT append (J3), pending
+                frontier overwrite + terminal-row archive append,
                 round_metrics (A1/A4) → atomic round commit (E5)
+
+State layout is O(delta)-per-round by construction:
+
+- ``seen`` is an append-only EVENT LOG. Each round appends one insert
+  event per fresh discovery and one fetch event per fetched URL; the
+  merged view (min/max/sum per url_hash — ``merged_seen``) IS the
+  reference's MERGE-upserted seen table (cassandra_manager.py:317-329),
+  and a periodic compaction snapshot (every ``compact_seen_every``
+  rounds) bounds log depth. No per-round O(|seen|) rewrite.
+- ``frontier`` holds ONLY pending rows (the live queue — the set every
+  scheduler pass must scan anyway); rows reaching a terminal state
+  (fetched / failed / robots_blocked) move to the append-only
+  ``frontier_archive``. The per-round overwrite is O(pending), the
+  archive append O(round delta).
+
+On Iceberg these map to: seen = append snapshots + a MERGE-on-read
+view + rewrite_data_files compaction; frontier/archive = overwrite +
+append snapshots.
 
 The reference's orchestrator (orchestrator.py:419-497) collapses into
 ``run``'s while-loop; K8s job retries (375-405) become the
@@ -22,7 +41,7 @@ The reference's orchestrator (orchestrator.py:419-497) collapses into
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +62,39 @@ FRONTIER_COLS = [
 SEEN_SCHEMA = ("url_hash string, url string, host_bucket int, "
                "first_round int, last_round int, scrape_count int, "
                "status string")
+SEEN_COLS = ["url_hash", "url", "host_bucket", "first_round",
+             "last_round", "scrape_count", "status"]
+
+
+def merged_seen(events: DataFrame) -> DataFrame:
+    """Latest-state view over the seen event log — exactly the
+    reference's upserted seen table (J3). Insert events carry
+    (first_round=last_round=enqueue round, scrape_count=0); fetch
+    events carry (first_round=NULL, last_round=fetch round,
+    scrape_count=1). min/max/sum are associative + idempotent over
+    disjoint event sets, so compaction snapshots re-merge correctly."""
+    return (
+        events.groupBy("url_hash").agg(
+            F.max("url").alias("url"),
+            F.max("host_bucket").alias("host_bucket"),
+            F.min("first_round").alias("first_round"),
+            F.max("last_round").alias("last_round"),
+            F.sum("scrape_count").cast("int").alias("scrape_count"),
+        )
+        .withColumn("status", F.when(F.col("scrape_count") > 0,
+                                     F.lit("scraped"))
+                    .otherwise(F.lit("pending")))
+        .select(*SEEN_COLS)
+    )
+
+
+def read_frontier_full(catalog: SnapshotCatalog,
+                       pending_id: int | None = None,
+                       archive_id: int | None = None) -> DataFrame:
+    """Union of the live pending queue and the terminal-row archive —
+    the round-1 single-table frontier view (tests/tools read this)."""
+    return catalog.read("frontier", pending_id).unionByName(
+        catalog.read("frontier_archive", archive_id))
 
 
 @dataclass
@@ -66,6 +118,9 @@ class CrawlConfig:
     # table, no pages shuffle). An unconditional broadcast of a
     # budget x hosts batch OOMs the driver at the 10^10 design point.
     fetch_broadcast_rows: int = 1_000_000
+    # every k rounds the seen event log is compacted to its merged view
+    # (Iceberg rewrite_data_files); amortized write cost O(seen/k).
+    compact_seen_every: int = 16
 
     def order_by(self) -> list:
         if self.order == "priority":
@@ -99,16 +154,30 @@ class CrawlEngine:
             .select(*FRONTIER_COLS)
         )
         f = D.first_wins(f, "url_hash", "seq")
+        # seq is dense 0..n-1 after first-wins? No — first-wins keeps the
+        # original file-order seq, so max_seq must be measured, once.
         fs = self.catalog.write_snapshot("frontier", f, {"round": -1})
-        # derive seen from the *written* frontier snapshot — the seeds
-        # decode/identity/dedup chain runs once, not once per write
-        seen = self.catalog.read("frontier").select(
+        written = self.catalog.read("frontier")
+        max_seq = written.agg(F.max("seq")).collect()[0][0] or 0
+        # record max_seq in the snapshot properties so rounds never
+        # rescan the frontier for it
+        props = self.catalog.snapshot_properties("frontier", fs)
+        props["max_seq"] = int(max_seq)
+        self.catalog.set_snapshot_properties("frontier", fs, props)
+        empty_archive = self.spark.createDataFrame([], written.schema)
+        ars = self.catalog.write_snapshot("frontier_archive", empty_archive,
+                                          {"round": -1})
+        # derive seen insert events from the *written* frontier snapshot —
+        # the seeds decode/identity/dedup chain runs once, not once per
+        # write
+        seen = written.select(
             "url_hash", "url", "host_bucket",
             F.lit(0).alias("first_round"), F.lit(0).alias("last_round"),
             F.lit(0).alias("scrape_count"), F.lit("pending").alias("status"),
         )
         ss = self.catalog.write_snapshot("seen", seen, {"round": -1})
-        self.catalog.commit_round(-1, {"frontier": fs, "seen": ss})
+        self.catalog.commit_round(-1, {"frontier": fs,
+                                       "frontier_archive": ars, "seen": ss})
 
     # -- one round -------------------------------------------------------------
     def run_round(self, r: int) -> dict:
@@ -123,12 +192,24 @@ class CrawlEngine:
             _t0 = now
 
         cfg = self.cfg
-        frontier = self.catalog.read("frontier")
-        seen = self.catalog.read("seen")
-        max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
+        # E5: read EVERY state table at the last complete round's
+        # recorded snapshot ids — never the current pointers, which a
+        # torn (crashed mid-round) commit can leave mutually
+        # inconsistent. Replaying against the pinned ids also keeps
+        # appends from carrying the torn round's orphaned data dirs.
+        base = self.catalog.last_complete_round()
+        if base is None:
+            raise RuntimeError("run_round before bootstrap")
+        bs = base["snapshots"]
+        frontier = self.catalog.read("frontier", bs["frontier"])  # pending
+        seen = self.catalog.read("seen", bs["seen"])              # event log
+        max_seq = self.catalog.snapshot_properties(
+            "frontier", bs["frontier"]).get("max_seq")
+        if max_seq is None:      # pre-split warehouse fallback
+            max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
         _mark("t_read_state")
 
-        pending = frontier.where(F.col("state") == "pending")
+        pending = frontier
         if cfg.max_depth is not None:
             pending = pending.where(F.col("depth") <= cfg.max_depth)
 
@@ -139,10 +220,10 @@ class CrawlEngine:
             cfg.default_budget, cfg.n_salts,
         ).select(*FRONTIER_COLS).cache()
 
-        # J4: pages ⋈ broadcast(scheduled) inner, split per phase BEFORE
-        # the join so each branch streams html straight from the pages
-        # cache into its UDF. html is NEVER cached or shuffled — caching
-        # the joined rows would double-buffer the whole fetched payload
+        # J4: pages ⋈ scheduled inner, split per phase BEFORE the join
+        # so each branch streams html straight from the pages cache into
+        # its UDF. html is NEVER cached or shuffled — caching the joined
+        # rows would double-buffer the whole fetched payload
         # (memory-eviction thrash that also destroys core scaling); only
         # the narrow key set materializes. Misses (scheduled URLs absent
         # from the corpus) come from a key-level anti-join.
@@ -152,8 +233,7 @@ class CrawlEngine:
         sched_discover = scheduled.where(is_discover)
 
         # size-gate the broadcast: scheduled is already cached, so the
-        # count is a cheap metadata-ish job and doubles as the batch-size
-        # signal the metrics layer wants anyway
+        # count is cheap and doubles as the batch-size signal
         n_scheduled_rows = scheduled.count()
         _bcast = (F.broadcast if n_scheduled_rows <= cfg.fetch_broadcast_rows
                   else (lambda df: df))
@@ -206,39 +286,41 @@ class CrawlEngine:
             "url_hash", "seq",
         ).cache()
         # Seen-filter maintenance is INCREMENTAL: the per-bucket blooms
-        # are read from the previous round's snapshot and only this
-        # round's inserts are OR-ed in (O(delta), not O(seen) — a full
-        # rebuild per round would scan the entire 10^10 seen set). The
-        # full build runs once (first bloom round / resume from a
-        # pre-filter snapshot); overgrown buckets degrade to the exact
-        # path until a rebuild.
+        # come from the previous complete round's snapshot (same round
+        # tag as the seen log they summarize — consistent by
+        # construction) and only this round's inserts are OR-ed in
+        # (O(delta), not O(seen)). The full build runs only when the
+        # base round carries no filter snapshot; buckets that outgrow
+        # their bit array degrade to the exact path and are rebuilt
+        # below, right-sized, from the seen log.
         filters = None
         if cfg.use_bloom:
-            if self.catalog.current_snapshot("seen_filters"):
-                filters = self.catalog.read("seen_filters")
+            if "seen_filters" in bs:
+                filters = self.catalog.read("seen_filters",
+                                            bs["seen_filters"])
             else:
                 filters = D.build_bloom_filters(
-                    seen, "url_hash", "host_bucket",
+                    seen.select("host_bucket", "url_hash").distinct(),
                     capacity=cfg.bloom_capacity)
         fresh = D.dedup_against_seen(children, seen, filters)
         fresh = assign_global_seq(
             fresh.drop("seq"), ["parent_seq", "pos"], start=max_seq + 1
         )
-        # cached: consumed twice (frontier union + seen inserts) — the
-        # dedup + global-seq chain must not run once per write
+        # cached: consumed 3x (pending union + seen inserts + count)
         fresh_frontier = fresh.select(
             "url", "url_hash", "host", "host_bucket", "depth", "priority",
             "parser", "label", "discovered_from", "seq",
             F.lit(r + 1).alias("round"), F.lit("pending").alias("state"),
             F.lit(0).alias("retry_count"),
         ).cache()
+        n_fresh = fresh_frontier.count()
 
-        # frontier state transitions
+        # frontier state transitions over the PENDING set only
         fetched_keys = fetched.select("url_hash").withColumn("_new", F.lit("fetched"))
         missing_keys = missing.select("url_hash").withColumn("_new", F.lit("fetch_failed"))
         blocked_keys = blocked.select("url_hash").withColumn("_new", F.lit("robots_blocked"))
         transitions = fetched_keys.unionByName(missing_keys).unionByName(blocked_keys)
-        new_frontier = (
+        trans = (
             frontier.join(transitions, "url_hash", "left")
             .withColumn(
                 "retry_count",
@@ -255,76 +337,95 @@ class CrawlEngine:
             )
             .drop("_new")
             .select(*FRONTIER_COLS)
-            .unionByName(fresh_frontier)
-        )
+        ).cache()
+        new_pending = trans.where(F.col("state") == "pending") \
+                           .unionByName(fresh_frontier)
+        archive_delta = trans.where(F.col("state") != "pending")
 
-        # J3: seen MERGE — update fetched rows, insert fresh children
-        upd = fetched.select("url_hash").withColumn("_f", F.lit(1))
-        seen_updated = (
-            seen.join(upd, "url_hash", "left")
-            .withColumn("last_round",
-                        F.when(F.col("_f").isNotNull(), F.lit(r))
-                        .otherwise(F.col("last_round")))
-            .withColumn("scrape_count",
-                        F.when(F.col("_f").isNotNull(),
-                               F.col("scrape_count") + 1)
-                        .otherwise(F.col("scrape_count")))
-            .withColumn("status",
-                        F.when(F.col("_f").isNotNull(), F.lit("scraped"))
-                        .otherwise(F.col("status")))
-            .drop("_f")
+        # J3 as events: one fetch event per fetched URL (the MERGE
+        # update), one insert event per fresh child (the MERGE insert).
+        # O(round delta) rows — the full seen table is never rewritten.
+        fetch_events = (
+            scheduled.join(fetched, "url_hash")
+            .select(
+                "url_hash", "url", "host_bucket",
+                F.lit(None).cast("int").alias("first_round"),
+                F.lit(r).alias("last_round"),
+                F.lit(1).alias("scrape_count"),
+                F.lit("scraped").alias("status"),
+            )
         )
-        seen_inserts = fresh_frontier.select(
+        insert_events = fresh_frontier.select(
             "url_hash", "url", "host_bucket",
             F.lit(r + 1).alias("first_round"),
             F.lit(r + 1).alias("last_round"),
             F.lit(0).alias("scrape_count"), F.lit("pending").alias("status"),
         )
-        new_seen = seen_updated.unionByName(seen_inserts)
+        seen_delta = fetch_events.unionByName(insert_events)
 
         # commits (each write is one snapshot; the round tag makes the
-        # group atomic-at-resume — E5)
+        # group atomic-at-resume — E5). Appends pin their base snapshot
+        # so a torn round's orphans are never carried forward.
         snaps = {}
         _mark("t_plan")
         snaps["articles"] = self.catalog.write_snapshot(
-            "articles", articles, {"round": r}, mode="append")
+            "articles", articles, {"round": r}, mode="append",
+            base_snapshot_id=bs.get("articles", -1))
         snaps["weibo_posts"] = self.catalog.write_snapshot(
-            "weibo_posts", weibo_posts, {"round": r}, mode="append")
+            "weibo_posts", weibo_posts, {"round": r}, mode="append",
+            base_snapshot_id=bs.get("weibo_posts", -1))
         _mark("t_write_articles")
         snaps["frontier"] = self.catalog.write_snapshot(
-            "frontier", new_frontier, {"round": r})
+            "frontier", new_pending,
+            {"round": r, "max_seq": int(max_seq) + n_fresh})
+        snaps["frontier_archive"] = self.catalog.write_snapshot(
+            "frontier_archive", archive_delta, {"round": r}, mode="append",
+            base_snapshot_id=bs.get("frontier_archive", -1))
         _mark("t_write_frontier")
         snaps["seen"] = self.catalog.write_snapshot(
-            "seen", new_seen, {"round": r})
+            "seen", seen_delta, {"round": r}, mode="append",
+            base_snapshot_id=bs.get("seen", -1))
+        if cfg.compact_seen_every and (r + 1) % cfg.compact_seen_every == 0:
+            compacted = merged_seen(self.catalog.read("seen", snaps["seen"]))
+            snaps["seen"] = self.catalog.write_snapshot(
+                "seen", compacted, {"round": r, "compacted": True})
         if cfg.use_bloom:
+            new_filters = D.merge_bloom_filters(
+                filters, insert_events.select("host_bucket", "url_hash"),
+                capacity=cfg.bloom_capacity).cache()
+            degraded = new_filters.where(F.col("n_bits") == 0) \
+                .select("host_bucket", "n_items").collect()
+            if degraded:
+                ids = [int(row["host_bucket"]) for row in degraded]
+                cap = max(cfg.bloom_capacity,
+                          2 * max(int(row["n_items"]) for row in degraded))
+                rebuilt = D.build_bloom_filters(
+                    self.catalog.read("seen", snaps["seen"])
+                    .where(F.col("host_bucket").isin(ids))
+                    .select("host_bucket", "url_hash").distinct(),
+                    capacity=cap)
+                new_filters = new_filters.where(
+                    ~F.col("host_bucket").isin(ids)).unionByName(rebuilt)
             snaps["seen_filters"] = self.catalog.write_snapshot(
-                "seen_filters",
-                D.merge_bloom_filters(
-                    filters, seen_inserts.select("host_bucket", "url_hash"),
-                    capacity=cfg.bloom_capacity),
-                {"round": r})
+                "seen_filters", new_filters,
+                {"round": r, "for_seen_snapshot": snaps["seen"]})
         _mark("t_write_seen")
 
-        # A1/A4 metrics from the committed snapshots (exact, idempotent).
-        # One grouped pass over transitions + one conditional agg over the
-        # new frontier — not a job per counter.
-        nf = self.catalog.read("frontier")
+        # A1/A4 metrics — every input is either an already-cached
+        # round-delta DataFrame or a parquet-footer count of this
+        # round's newly written files; nothing rescans a cumulative
+        # table, so metric cost stays flat as the crawl ages.
         tc = {row["_new"]: row["n"] for row in
               transitions.groupBy("_new").agg(F.count("*").alias("n"))
               .collect()}
         n_fetched = tc.get("fetched", 0)
         n_blocked = tc.get("robots_blocked", 0)
         n_sched = n_fetched + tc.get("fetch_failed", 0)
-        nf_row = nf.agg(
-            F.sum(F.when(F.col("state") == "pending", 1).otherwise(0))
-            .alias("pending"),
-            F.sum(F.when(F.col("round") == r + 1, 1).otherwise(0))
-            .alias("fresh"),
-        ).collect()[0]
-        n_articles = self.catalog.read("articles").where(
-            F.col("round") == r).count()
+        n_articles = self.catalog.snapshot_delta_rowcount(
+            "articles", snaps["articles"])
         n_children = children.count()
-        n_fresh = int(nf_row["fresh"] or 0)
+        pending_after = trans.where(F.col("state") == "pending").count() \
+            + n_fresh
         metrics = {
             "round": r,
             "scheduled": n_sched,
@@ -335,7 +436,7 @@ class CrawlEngine:
             "links_discovered": n_children,
             "links_enqueued": n_fresh,
             "duplicates_skipped": n_children - n_fresh,
-            "pending_after": int(nf_row["pending"] or 0),
+            "pending_after": pending_after,
         }
         mdf = self.spark.createDataFrame(
             [(r, k, int(v)) for k, v in metrics.items()
@@ -343,10 +444,14 @@ class CrawlEngine:
             "round int, metric string, value long",
         ).withColumn("round", F.lit(r))
         snaps["round_metrics"] = self.catalog.write_snapshot(
-            "round_metrics", mdf, {"round": r}, mode="append")
+            "round_metrics", mdf, {"round": r}, mode="append",
+            base_snapshot_id=bs.get("round_metrics", -1))
         self.catalog.commit_round(r, snaps)
-        for df in (scheduled, fetched, children, blocked, fresh_frontier):
+        for df in (scheduled, fetched, children, blocked, fresh_frontier,
+                   trans):
             df.unpersist()
+        if cfg.use_bloom:
+            new_filters.unpersist()
         _mark("t_metrics")
         metrics["_timings"] = _tm
         return metrics

@@ -70,12 +70,17 @@ class SnapshotCatalog:
     def write_snapshot(self, table: str, df: DataFrame,
                        properties: dict[str, Any] | None = None,
                        partition_by: list[str] | None = None,
-                       mode: str = "overwrite") -> int:
+                       mode: str = "overwrite",
+                       base_snapshot_id: int | None = None) -> int:
         """Materialize df as the table's next snapshot and commit it
         atomically. ``mode='append'`` writes only the new rows but the
         new snapshot references all prior data dirs too — exactly an
         Iceberg append snapshot (new manifests + carried-over ones).
-        Returns the snapshot id."""
+        ``base_snapshot_id`` pins WHICH snapshot an append extends
+        (default: the latest). Callers replaying a round after a crash
+        must pin the last committed round's id so orphaned data dirs
+        from the torn round are not carried forward. Returns the
+        snapshot id."""
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
         snaps = self.snapshots(table)
@@ -92,7 +97,13 @@ class SnapshotCatalog:
 
         paths = [data_dir]
         if mode == "append" and snaps:
-            paths = snaps[-1]["paths"] + paths
+            if base_snapshot_id is None:
+                paths = snaps[-1]["paths"] + paths
+            elif base_snapshot_id >= 0:
+                paths = self._paths_of(table, base_snapshot_id) + paths
+            # base_snapshot_id == -1: fresh lineage, carry nothing (the
+            # caller knows no committed base exists — e.g. replaying the
+            # first round after a crash left an orphaned snapshot)
         entry = {
             "id": snap_id,
             "paths": paths,
@@ -111,6 +122,12 @@ class SnapshotCatalog:
             json.dump(obj, f, indent=1)
         os.replace(tmp, path)
 
+    def _paths_of(self, table: str, snapshot_id: int) -> list[str]:
+        for s in self.snapshots(table):
+            if s["id"] == snapshot_id:
+                return s["paths"]
+        raise FileNotFoundError(f"{table}: no snapshot {snapshot_id}")
+
     # -- read path -----------------------------------------------------------
     def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
         """Read current snapshot, or time-travel (`VERSION AS OF`)."""
@@ -119,10 +136,39 @@ class SnapshotCatalog:
             if cur is None:
                 raise FileNotFoundError(f"table {table} has no snapshot")
             return self.spark.read.parquet(*cur["paths"])
+        return self.spark.read.parquet(*self._paths_of(table, snapshot_id))
+
+    def snapshot_properties(self, table: str, snapshot_id: int) -> dict:
         for s in self.snapshots(table):
             if s["id"] == snapshot_id:
-                return self.spark.read.parquet(*s["paths"])
+                return s.get("properties", {})
         raise FileNotFoundError(f"{table}: no snapshot {snapshot_id}")
+
+    def set_snapshot_properties(self, table: str, snapshot_id: int,
+                                properties: dict) -> None:
+        """Replace a snapshot's properties (Iceberg: snapshot summary /
+        table-property update — metadata only, no data rewrite)."""
+        snaps = self.snapshots(table)
+        for s in snaps:
+            if s["id"] == snapshot_id:
+                s["properties"] = properties
+                break
+        else:
+            raise FileNotFoundError(f"{table}: no snapshot {snapshot_id}")
+        self._atomic_json(self._log(table), snaps)
+        cur = self.current_snapshot(table)
+        if cur and cur["id"] == snapshot_id:
+            cur["properties"] = properties
+            self._atomic_json(self._pointer(table), cur)
+
+    def snapshot_delta_rowcount(self, table: str, snapshot_id: int) -> int:
+        """Row count of ONLY the data dir written by this snapshot (a
+        parquet-footer metadata job — no data scan). For an append
+        snapshot this is the delta's size; the per-round metrics layer
+        uses it instead of rescanning the whole table."""
+        tdir = self._tdir(table)
+        return self.spark.read.parquet(
+            os.path.join(tdir, f"snap-{snapshot_id}")).count()
 
     def exists(self, table: str) -> bool:
         return self.current_snapshot(table) is not None
