@@ -89,6 +89,7 @@ def _assert_matches_golden(cat, metrics, golden):
         assert m["scheduled"] + m["robots_blocked"] >= m["scheduled"]
         assert m["links_enqueued"] == g["enqueued"], m
         assert m["articles_scraped"] == g["articles"], m
+        assert m["errors"] == g["errors"], m
     # articles: same url set + byte-identical content
     arts = {r["url"]: r for r in cat.read("articles").collect()}
     sim_arts = {a["url"]: a for a in golden.articles}

@@ -1,0 +1,143 @@
+"""content_history change detection (S8), quarantine/errors split, and
+article store-time columns — reference semantics at
+cassandra_manager.py:273-292 (insert_article), 298/314 (errors
+counter), 436-464 (content history + duplicate tracking).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scrapers_python_spark.operators import history as HY
+from web_scrapers_python_spark.plans.engine import CrawlConfig, CrawlEngine
+from web_scrapers_python_spark.sources import datagen as G
+from web_scrapers_python_spark.sources.catalog import SnapshotCatalog
+from web_scrapers_python_spark.sources.seeds import read_seeds
+
+POLICY_SCHEMA = ("host string, crawl_delay double, max_per_round int, "
+                 "robots_disallow array<string>")
+
+
+def _stored(spark, rows):
+    return spark.createDataFrame(
+        rows, "url_hash string, id string, content_hash string")
+
+
+class TestChangeDetection:
+    def test_new_updated_duplicate_ladder(self, spark):
+        """Re-scrape ladder: first store -> new; changed content ->
+        updated; unchanged content -> duplicate (always vs the LATEST
+        prior version)."""
+        r0 = HY.content_history_delta(
+            _stored(spark, [("u1", "a1", "h1"), ("u2", "a2", "h2")]),
+            None, 0)
+        got0 = {r["url_hash"]: r["change_type"] for r in r0.collect()}
+        assert got0 == {"u1": "new", "u2": "new"}
+
+        r1 = HY.content_history_delta(
+            _stored(spark, [("u1", "a3", "h1b"),   # changed
+                            ("u2", "a4", "h2"),    # unchanged
+                            ("u3", "a5", "h3")]),  # first seen
+            r0, 1)
+        got1 = {r["url_hash"]: r["change_type"] for r in r1.collect()}
+        assert got1 == {"u1": "updated", "u2": "duplicate", "u3": "new"}
+
+        # round 2 compares against round 1's LATEST version, not round 0
+        r2 = HY.content_history_delta(
+            _stored(spark, [("u1", "a6", "h1b")]), r0.unionByName(r1), 2)
+        assert r2.collect()[0]["change_type"] == "duplicate"
+
+    def test_deterministic_ids_and_clock(self, spark):
+        df = spark.range(1).select(
+            HY.article_uuid(F.lit("abc"), 3).alias("id"),
+            HY.round_timestamp(3).alias("ts"))
+        row = df.collect()[0]
+        # uuid shape: 8-4-4-4-12 hex
+        parts = row["id"].split("-")
+        assert [len(p) for p in parts] == [8, 4, 4, 4, 12]
+        assert row["ts"].hour == 3
+        # stable across evaluations
+        assert df.collect()[0]["id"] == row["id"]
+
+
+class TestCrawlIntegration:
+    @pytest.fixture(scope="class")
+    def crawl(self, spark, tmp_path_factory):
+        n, h, seed = 300, 16, 42
+        pages = G.generate_pages(spark, n, h, seed).cache()
+        policy = spark.createDataFrame(G.host_policy_rows(seed, h),
+                                       POLICY_SCHEMA)
+        tmp = tmp_path_factory.mktemp("hist")
+        sp = tmp / "seeds.txt"
+        sp.write_text("\n".join(
+            json.dumps({"url": G.url_of(seed, i, h), "label": "a"})
+            for i in range(10)))
+        cat = SnapshotCatalog(spark, str(tmp / "wh"))
+        eng = CrawlEngine(spark, pages, policy, cat, CrawlConfig())
+        metrics = eng.run(read_seeds(spark, str(sp)), max_rounds=30)
+        return cat, metrics
+
+    def test_history_matches_articles(self, crawl):
+        cat, _ = crawl
+        arts = {(r["url_hash"], r["id"], r["content_hash"])
+                for r in cat.read("articles")
+                .select("url_hash", "id", "content_hash").collect()}
+        hist = {(r["url_hash"], r["article_id"], r["content_hash"])
+                for r in cat.read("content_history")
+                .select("url_hash", "article_id", "content_hash").collect()}
+        assert arts == hist and len(arts) > 0
+        # single-scrape crawl: every history row is a first version
+        assert {r["change_type"] for r in
+                cat.read("content_history").collect()} == {"new"}
+
+    def test_store_time_columns(self, crawl):
+        cat, _ = crawl
+        arts = cat.read("articles")
+        for c in ("id", "scraped_at", "metadata"):
+            assert c in arts.columns, c
+        rows = arts.select("id", "scraped_at", "round").collect()
+        assert all(r["id"] is not None for r in rows)
+        assert all(r["scraped_at"].hour == r["round"] for r in rows)
+
+    def test_errors_metric_equals_quarantine(self, crawl):
+        cat, metrics = crawl
+        n_quar = cat.read("quarantine").count()
+        assert sum(m["errors"] for m in metrics) == n_quar
+        if n_quar:
+            reasons = {r["fail_reason"] for r in
+                       cat.read("quarantine").collect()}
+            assert reasons <= {"parse_failed", "missing_title"}
+
+
+def test_injected_broken_pages_are_quarantined(spark, tmp_path):
+    """Pages whose html defeats every selector are counted as errors and
+    land in quarantine, not silently dropped."""
+    good = ("https://host0.example.com/news/good",
+            b"<html><head><title>T</title></head>"
+            b"<body><h1>T</h1><div class='article-content'><p>"
+            + b"word " * 60 + b"</p></div></body></html>")
+    broken = [(f"https://host0.example.com/news/broken-{i}",
+               b"<html><body><span>no title no content</span></body></html>")
+              for i in range(3)]
+    pages = spark.createDataFrame(
+        [good, *broken], "url string, html binary",
+    ).withColumn("warc_ts", F.current_timestamp()) \
+     .withColumn("text", F.lit(None).cast("string")) \
+     .withColumn("lang", F.lit("en"))
+    seeds = spark.createDataFrame(
+        [(u, "PARSE", "generic-news", 0, i) for i, (u, _) in
+         enumerate([good, *broken])],
+        "url string, label string, parser string, priority int, seq long")
+    policy = spark.createDataFrame(
+        [("host0.example.com", 0.0, 100, [])], POLICY_SCHEMA)
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    eng = CrawlEngine(spark, pages, policy, cat, CrawlConfig())
+    metrics = eng.run(seeds, max_rounds=3)
+    assert sum(m["errors"] for m in metrics) == 3
+    quar = cat.read("quarantine").collect()
+    assert len(quar) == 3
+    assert all(r["fail_reason"] == "parse_failed" for r in quar)
+    assert cat.read("articles").count() == 1

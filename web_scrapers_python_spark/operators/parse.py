@@ -226,7 +226,8 @@ extract_links_udf = extract_links_udf.asNondeterministic()
 
 def parse_articles(fetched: DataFrame, parser_col: str = "parser",
                    html_col: str = "html", url_col: str = "url",
-                   analyze: bool = False) -> DataFrame:
+                   analyze: bool = False,
+                   with_failures: bool = False) -> DataFrame:
     """P3 dispatch: run each registered parser on its filtered branch and
     union by name into one articles frame.
 
@@ -235,16 +236,50 @@ def parse_articles(fetched: DataFrame, parser_col: str = "parser",
     the reference's hashes (X1/X2). With ``analyze=True`` the fused
     parse+analysis UDFs run instead (adds ``ai_analysis``; ~1.6x faster
     than the two-stage spelling — one Arrow round-trip, no interpreted
-    higher-order exprs in the hot path)."""
+    higher-order exprs in the hot path).
+
+    With ``with_failures=True`` rejected rows are KEPT and flagged
+    (``parse_ok`` boolean + ``fail_reason``) instead of silently
+    filtered — the engine routes them to the quarantine table and the
+    ``errors`` counter (the reference counts store failures as
+    'errors', cassandra_manager.py:298,314)."""
     pc, hc, uc = F.col(parser_col), F.col(html_col), F.col(url_col)
     ai = [F.col("_a.ai_analysis").alias("ai_analysis")] if analyze else []
     news_udf = parse_news_analyzed_udf if analyze else parse_generic_news_udf
 
-    news = (
-        fetched.where(pc.isin("generic-news", "ai-enhanced-news"))
-        .withColumn("_a", news_udf(hc, uc))
-        .where(F.col("_a.ok").isNotNull() & F.col("_a.title").isNotNull())
-        .select(
+    def flag(ok_col, reason_col):
+        if not with_failures:
+            return []
+        return [ok_col.alias("parse_ok"), reason_col.alias("fail_reason")]
+
+    news_ok = F.col("_a.ok").isNotNull() & F.col("_a.title").isNotNull()
+    news_reason = (
+        F.when(F.col("_a.ok").isNull(), "parse_failed")
+        .when(F.col("_a.title").isNull(), "missing_title"))
+    news = fetched.where(pc.isin("generic-news", "ai-enhanced-news")) \
+                  .withColumn("_a", news_udf(hc, uc))
+    if not with_failures:
+        news = news.where(news_ok)
+    news = news.select(
+        uc.alias("url"),
+        F.col("_a.title").alias("title"),
+        F.col("_a.author").alias("author"),
+        F.col("_a.published_at").alias("published_at"),
+        F.col("_a.description").alias("description"),
+        F.col("_a.content").alias("content"),
+        F.col("_a.image").alias("image"),
+        F.col("_a.source").alias("source"),
+        pc.alias("parser_used"),
+        *ai,
+        *flag(news_ok, news_reason),
+    )
+    if analyze:
+        weibo_ok = F.col("_a.ok").isNotNull()
+        weibo = fetched.where(pc == "weibo") \
+                       .withColumn("_a", parse_weibo_analyzed_udf(hc, uc))
+        if not with_failures:
+            weibo = weibo.where(weibo_ok)
+        weibo = weibo.select(
             uc.alias("url"),
             F.col("_a.title").alias("title"),
             F.col("_a.author").alias("author"),
@@ -255,42 +290,25 @@ def parse_articles(fetched: DataFrame, parser_col: str = "parser",
             F.col("_a.source").alias("source"),
             pc.alias("parser_used"),
             *ai,
-        )
-    )
-    if analyze:
-        weibo = (
-            fetched.where(pc == "weibo")
-            .withColumn("_a", parse_weibo_analyzed_udf(hc, uc))
-            .where(F.col("_a.ok").isNotNull())
-            .select(
-                uc.alias("url"),
-                F.col("_a.title").alias("title"),
-                F.col("_a.author").alias("author"),
-                F.col("_a.published_at").alias("published_at"),
-                F.col("_a.description").alias("description"),
-                F.col("_a.content").alias("content"),
-                F.col("_a.image").alias("image"),
-                F.col("_a.source").alias("source"),
-                pc.alias("parser_used"),
-                *ai,
-            )
+            *flag(weibo_ok, F.lit("parse_failed")),
         )
     else:
-        weibo = (
-            fetched.where(pc == "weibo")
-            .withColumn("_w", parse_weibo_udf(hc, uc))
-            .where(F.col("_w.ok").isNotNull())
-            .select(
-                uc.alias("url"),
-                F.lit(None).cast("string").alias("title"),
-                F.col("_w.author").alias("author"),
-                F.lit(None).cast("timestamp").alias("published_at"),
-                F.lit(None).cast("string").alias("description"),
-                F.col("_w.content").alias("content"),
-                F.lit(None).cast("string").alias("image"),
-                U.extract_domain(uc).alias("source"),
-                pc.alias("parser_used"),
-            )
+        weibo_ok = F.col("_w.ok").isNotNull()
+        weibo = fetched.where(pc == "weibo") \
+                       .withColumn("_w", parse_weibo_udf(hc, uc))
+        if not with_failures:
+            weibo = weibo.where(weibo_ok)
+        weibo = weibo.select(
+            uc.alias("url"),
+            F.lit(None).cast("string").alias("title"),
+            F.col("_w.author").alias("author"),
+            F.lit(None).cast("timestamp").alias("published_at"),
+            F.lit(None).cast("string").alias("description"),
+            F.col("_w.content").alias("content"),
+            F.lit(None).cast("string").alias("image"),
+            U.extract_domain(uc).alias("source"),
+            pc.alias("parser_used"),
+            *flag(weibo_ok, F.lit("parse_failed")),
         )
     out = news.unionByName(weibo)
     return (

@@ -7,11 +7,24 @@ for each round's newly discovered batch — NOT
 ``monotonically_increasing_id`` (partition-dependent) and NOT a
 single-partition global window (driver-size bottleneck at 10^10).
 
-``assign_global_seq`` is a zipWithIndex-style two-pass plan:
-range-repartition by the order key, sort within partitions, count per
-partition (tiny aggregate → driver), then add the broadcast partition
-offsets in a mapInPandas stage. One range shuffle; no global sort on a
-single task.
+``assign_global_seq`` is a zipWithIndex-style plan with EXPLICIT,
+deterministic range buckets:
+
+1. a deterministic hash-systematic sample of the order keys picks
+   literal bucket bounds (collected once, frozen into the plan);
+2. each row's bucket is a codegen'd when-ladder against those bounds;
+3. per-bucket counts (one small aggregate → driver) give each bucket's
+   global offset;
+4. rows shuffle once on the bucket id and are numbered map-side
+   (mapInPandas) inside their sorted bucket.
+
+Why not ``repartitionByRange`` + ``spark_partition_id``: Spark samples
+range bounds PER JOB (the sampling seed derives from the physical
+RDD, which every action rebuilds), so the count pass and the numbering
+pass — and any later re-evaluation of the result — can disagree about
+partition boundaries, silently corrupting the sequence. Literal
+bounds + a bucket COLUMN make every pass, and every re-evaluation,
+see the same bucketing.
 """
 
 from __future__ import annotations
@@ -19,45 +32,87 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+SAMPLES_PER_PART = 64
+
+
+def _lex_ge(cols: list[Column], vals: tuple) -> Column:
+    """Lexicographic (c0,c1,..) >= (v0,v1,..) as a codegen-able expr."""
+    prefix_eq = F.lit(True)
+    gt = F.lit(False)
+    for c, v in zip(cols, vals):
+        gt = gt | (prefix_eq & (c > F.lit(v)))
+        prefix_eq = prefix_eq & (c == F.lit(v))
+    return gt | prefix_eq
 
 
 def assign_global_seq(df: DataFrame, order_by: list[str], start: int = 0,
                       out_col: str = "seq",
                       num_partitions: int | None = None) -> DataFrame:
     """Add ``out_col`` = start + 0-based dense rank of the row in the
-    global (order_by) ordering. order_by must be a unique composite key
-    for determinism."""
+    global (order_by) ordering. order_by must be a unique, non-null
+    composite key for determinism. The result is safe to re-evaluate
+    (all plan inputs are frozen literals)."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ordered = (
-        df.repartitionByRange(parts, *[F.col(c) for c in order_by])
-        .sortWithinPartitions(*[F.col(c) for c in order_by])
-        .withColumn("_pid", F.spark_partition_id())
+    keys = [F.col(c) for c in order_by]
+
+    n = df.count()
+    if n == 0:
+        return df.withColumn(out_col, F.lit(start).cast("long"))
+
+    # deterministic systematic sample by key hash (no RNG, no seed —
+    # identical for every evaluation of the same input)
+    mod = max(1, n // max(parts * SAMPLES_PER_PART, 1))
+    sample = sorted(
+        tuple(r) for r in df.select(*keys).where(
+            F.pmod(F.xxhash64(*keys), F.lit(mod)) == 0).collect()
     )
+    bounds: list[tuple] = []
+    for i in range(1, parts):
+        j = (i * len(sample)) // parts
+        if 0 < j < len(sample):
+            b = sample[j]
+            if not bounds or b > bounds[-1]:
+                bounds.append(b)
+
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(_lex_ge(keys, b), 1).otherwise(0)
+    work = df.withColumn("_bkt", bucket.cast("int"))
+
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in ordered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        r["_bkt"]: r["cnt"]
+        for r in work.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
     }
-    # partition ids from repartitionByRange are ordered by range bounds,
-    # so cumulative counts give each partition's global offset.
     offsets: dict[int, int] = {}
     acc = start
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for bkt in sorted(counts):
+        offsets[bkt] = acc
+        acc += counts[bkt]
 
-    schema = ordered.drop("_pid").schema.add(out_col, "long")
+    schema = df.schema.add(out_col, "long")
 
     def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
+        local: dict[int, int] = {}
         for b in batches:
             if len(b) == 0:
                 continue
-            pid = int(b["_pid"].iloc[0])
-            b = b.drop(columns=["_pid"])
-            b[out_col] = offsets[pid] + local + pd.RangeIndex(len(b))
-            local += len(b)
+            seqs = []
+            # buckets are contiguous after the sort; iterate groups in
+            # encounter order and number within each
+            for bkt, g in b.groupby("_bkt", sort=False):
+                base = offsets[int(bkt)] + local.get(int(bkt), 0)
+                seqs.append(pd.Series(base + pd.RangeIndex(len(g)),
+                                      index=g.index))
+                local[int(bkt)] = local.get(int(bkt), 0) + len(g)
+            b = b.drop(columns=["_bkt"])
+            b[out_col] = pd.concat(seqs).sort_index()
             yield b
 
-    return ordered.mapInPandas(number, schema)
+    return (
+        work.repartition(min(parts, len(bounds) + 1), "_bkt")
+        .sortWithinPartitions("_bkt", *keys)
+        .mapInPandas(number, schema)
+    )

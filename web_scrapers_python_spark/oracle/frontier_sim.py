@@ -98,7 +98,7 @@ def simulate(pages: dict[str, bytes], seeds: list[dict],
                 scheduled.append(e)
 
         round_log = {"round": r, "scheduled": [], "articles": 0,
-                     "enqueued": 0}
+                     "enqueued": 0, "errors": 0}
         discoveries: list[tuple[int, int, SimEntry, str]] = []
         for e in scheduled:
             round_log["scheduled"].append(e.url)
@@ -115,11 +115,15 @@ def simulate(pages: dict[str, bytes], seeds: list[dict],
                     if post:
                         res.articles.append({**post, "parser_used": pid})
                         round_log["articles"] += 1
+                    else:
+                        round_log["errors"] += 1
                 elif pid is not None:
                     art = ox.parse_generic_news(html, e.url)
                     if art:
                         res.articles.append({**art, "parser_used": pid})
                         round_log["articles"] += 1
+                    else:
+                        round_log["errors"] += 1
             elif e.label is not None:
                 for pos, child in enumerate(ox.extract_links(html, e.label)):
                     discoveries.append((e.seq, pos, e, child))

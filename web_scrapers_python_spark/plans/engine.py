@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import history as HY
 from ..operators import links as L
 from ..operators import parse as P
 from ..operators import politeness as W
@@ -256,8 +257,21 @@ class CrawlEngine:
         parse_eff = parse_rows.withColumn(
             "parser", P.U.select_parser_id(F.col("url"), F.col("parser"))
         ).where(F.col("parser").isNotNull())
-        articles = P.parse_articles(parse_eff, analyze=True) \
-                    .withColumn("round", F.lit(r))
+        # one UDF pass produces both streams: accepted rows -> articles
+        # (with the reference's store-time columns), rejected rows ->
+        # quarantine + the 'errors' counter instead of a silent drop
+        # (cassandra_manager.py:298,314). Cached: the parsed rows are
+        # narrow (no html) and feed two writes.
+        parsed = P.parse_articles(parse_eff, analyze=True,
+                                  with_failures=True).cache()
+        articles = HY.with_store_columns(
+            parsed.where(F.col("parse_ok")).drop("parse_ok", "fail_reason"),
+            r).withColumn("round", F.lit(r))
+        quarantine = (
+            parsed.where(~F.col("parse_ok"))
+            .select("url", "url_hash", "parser_used", "fail_reason")
+            .withColumn("round", F.lit(r))
+        )
         # WeiboPost is a distinct schema in the reference (weibo.py:15-24
         # incl. engagement metrics); persist it as its own table. The
         # weibo subset is tiny (~5% of pages) so the re-parse is noise.
@@ -302,9 +316,13 @@ class CrawlEngine:
                 filters = D.build_bloom_filters(
                     seen.select("host_bucket", "url_hash").distinct(),
                     capacity=cfg.bloom_capacity)
-        fresh = D.dedup_against_seen(children, seen, filters)
+        # cached: the sequencer's planning passes (count / bound sample /
+        # bucket counts) and the final consumers all read the dedup
+        # output — one evaluation of the anti-join chain, not four
+        deduped = D.dedup_against_seen(children, seen, filters) \
+                   .drop("seq").cache()
         fresh = assign_global_seq(
-            fresh.drop("seq"), ["parent_seq", "pos"], start=max_seq + 1
+            deduped, ["parent_seq", "pos"], start=max_seq + 1
         )
         # cached: consumed 3x (pending union + seen inserts + count)
         fresh_frontier = fresh.select(
@@ -374,6 +392,22 @@ class CrawlEngine:
         snaps["weibo_posts"] = self.catalog.write_snapshot(
             "weibo_posts", weibo_posts, {"round": r}, mode="append",
             base_snapshot_id=bs.get("weibo_posts", -1))
+        snaps["quarantine"] = self.catalog.write_snapshot(
+            "quarantine", quarantine, {"round": r}, mode="append",
+            base_snapshot_id=bs.get("quarantine", -1))
+        # S8 content history: change detection against the latest prior
+        # version, computed from the just-written articles delta (three
+        # narrow columns from fresh parquet footers — never a re-parse)
+        hist_prior = (self.catalog.read("content_history",
+                                        bs["content_history"])
+                      if "content_history" in bs else None)
+        hist_delta = HY.content_history_delta(
+            self.catalog.read_snapshot_delta("articles", snaps["articles"])
+            .select("url_hash", "id", "content_hash"),
+            hist_prior, r)
+        snaps["content_history"] = self.catalog.write_snapshot(
+            "content_history", hist_delta, {"round": r}, mode="append",
+            base_snapshot_id=bs.get("content_history", -1))
         _mark("t_write_articles")
         snaps["frontier"] = self.catalog.write_snapshot(
             "frontier", new_pending,
@@ -423,6 +457,8 @@ class CrawlEngine:
         n_sched = n_fetched + tc.get("fetch_failed", 0)
         n_articles = self.catalog.snapshot_delta_rowcount(
             "articles", snaps["articles"])
+        n_errors = self.catalog.snapshot_delta_rowcount(
+            "quarantine", snaps["quarantine"])
         n_children = children.count()
         pending_after = trans.where(F.col("state") == "pending").count() \
             + n_fresh
@@ -433,6 +469,7 @@ class CrawlEngine:
             "fetch_failed": n_sched - n_fetched,
             "robots_blocked": n_blocked,
             "articles_scraped": n_articles,
+            "errors": n_errors,
             "links_discovered": n_children,
             "links_enqueued": n_fresh,
             "duplicates_skipped": n_children - n_fresh,
@@ -448,7 +485,7 @@ class CrawlEngine:
             base_snapshot_id=bs.get("round_metrics", -1))
         self.catalog.commit_round(r, snaps)
         for df in (scheduled, fetched, children, blocked, fresh_frontier,
-                   trans):
+                   trans, parsed, deduped):
             df.unpersist()
         if cfg.use_bloom:
             new_filters.unpersist()

@@ -161,14 +161,18 @@ class SnapshotCatalog:
             cur["properties"] = properties
             self._atomic_json(self._pointer(table), cur)
 
+    def read_snapshot_delta(self, table: str, snapshot_id: int) -> DataFrame:
+        """Read ONLY the data dir written by this snapshot — for an
+        append snapshot, exactly the delta rows it added."""
+        return self.spark.read.parquet(
+            os.path.join(self._tdir(table), f"snap-{snapshot_id}"))
+
     def snapshot_delta_rowcount(self, table: str, snapshot_id: int) -> int:
         """Row count of ONLY the data dir written by this snapshot (a
         parquet-footer metadata job — no data scan). For an append
         snapshot this is the delta's size; the per-round metrics layer
         uses it instead of rescanning the whole table."""
-        tdir = self._tdir(table)
-        return self.spark.read.parquet(
-            os.path.join(tdir, f"snap-{snapshot_id}")).count()
+        return self.read_snapshot_delta(table, snapshot_id).count()
 
     def exists(self, table: str) -> bool:
         return self.current_snapshot(table) is not None
