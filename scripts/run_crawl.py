@@ -53,6 +53,10 @@ def main() -> None:
                     help="generate an N-page synthetic corpus instead of "
                          "--pages (smoke/testing)")
     ap.add_argument("--n-hosts", type=int, default=64)
+    ap.add_argument("--seed-table", default=None,
+                    help="warehouse seed table; falls back to --seeds "
+                         "file when missing/empty (S4 bootstrap chain)")
+    ap.add_argument("--seed-limit", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -101,7 +105,12 @@ def main() -> None:
             for i in range(min(16, args.synthesize)):
                 f.write('{"url": "%s", "label": "a"}\n'
                         % G.url_of(42, i, args.n_hosts))
-    seeds = read_seeds(spark, seeds_path) if seeds_path else None
+    if args.seed_table:
+        from web_scrapers_python_spark.sources.seeds import seeds_with_fallback
+        seeds = seeds_with_fallback(spark, engine.catalog, seeds_path,
+                                    args.seed_table, args.seed_limit)
+    else:
+        seeds = read_seeds(spark, seeds_path) if seeds_path else None
     metrics = engine.run(seeds, max_rounds=args.rounds)
     for m in metrics:
         print(json.dumps({k: v for k, v in m.items()

@@ -141,3 +141,34 @@ def test_injected_broken_pages_are_quarantined(spark, tmp_path):
     assert len(quar) == 3
     assert all(r["fail_reason"] == "parse_failed" for r in quar)
     assert cat.read("articles").count() == 1
+
+
+class TestSeedFallback:
+    SCHEMA = ("url string, label string, parser string, priority int, "
+              "seq long, status string")
+
+    def test_db_first_file_fallback(self, spark, tmp_path):
+        from web_scrapers_python_spark.sources.seeds import (
+            read_seeds, seeds_with_fallback)
+        sp = tmp_path / "seeds.txt"
+        sp.write_text('{"url": "https://a.example.com/1", "label": "a"}\n'
+                      '{"url": "https://a.example.com/2", "label": "a"}\n')
+        cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+
+        # missing table -> file
+        got = seeds_with_fallback(spark, cat, str(sp))
+        assert got.count() == 2
+
+        # empty table -> file
+        cat.write_snapshot("seeds", spark.createDataFrame([], self.SCHEMA))
+        got = seeds_with_fallback(spark, cat, str(sp))
+        assert got.count() == 2
+
+        # populated table wins; inactive filtered; limit = top priority
+        cat.write_snapshot("seeds", spark.createDataFrame(
+            [("https://db.example.com/lo", "a", None, 1, 0, "active"),
+             ("https://db.example.com/hi", "a", None, 9, 1, "active"),
+             ("https://db.example.com/off", "a", None, 99, 2, "disabled")],
+            self.SCHEMA))
+        got = seeds_with_fallback(spark, cat, str(sp), limit=1).collect()
+        assert [r["url"] for r in got] == ["https://db.example.com/hi"]

@@ -85,3 +85,42 @@ def read_seeds(spark: SparkSession, path: str) -> DataFrame:
             (F.row_number().over(w) - 1).cast("long").alias("seq"),
         )
     )
+
+
+def seeds_with_fallback(spark: SparkSession, catalog, file_path: str,
+                        table: str = "seeds",
+                        limit: int | None = None) -> DataFrame:
+    """S4 bootstrap chain: prefer the warehouse seed TABLE; fall back to
+    the seed file when the table is missing or empty
+    (cassandra_parser_manager.py:98-119 falls back to
+    _get_file_based_seeds at 152-162 when the DB yields nothing).
+
+    The table must carry (url, label, parser, priority, seq); an
+    optional ``status`` column keeps only 'active' rows
+    (cassandra_manager.py:353-372 reads active seeds with a limit).
+    ``limit`` takes the top rows by (priority DESC, seq ASC) — the W1
+    ordering the engine schedules by."""
+    try:
+        if catalog.exists(table):
+            df = catalog.read(table)
+            if "status" in df.columns:
+                df = df.where(F.col("status") == "active")
+            df = df.select(
+                "url",
+                F.col("label") if "label" in df.columns
+                else F.lit(None).cast("string").alias("label"),
+                F.col("parser") if "parser" in df.columns
+                else F.lit(None).cast("string").alias("parser"),
+                (F.coalesce(F.col("priority"), F.lit(0))
+                 if "priority" in df.columns
+                 else F.lit(0)).alias("priority"),
+                F.col("seq").cast("long"),
+            )
+            if limit is not None:
+                df = df.orderBy(F.col("priority").desc(),
+                                F.col("seq").asc()).limit(limit)
+            if df.limit(1).count() > 0:    # cheap emptiness probe
+                return df
+    except FileNotFoundError:
+        pass
+    return read_seeds(spark, file_path)
