@@ -233,9 +233,17 @@ class CrawlEngine:
         sched_parse = scheduled.where(is_parse)
         sched_discover = scheduled.where(is_discover)
 
-        # size-gate the broadcast: scheduled is already cached, so the
-        # count is cheap and doubles as the batch-size signal
-        n_scheduled_rows = scheduled.count()
+        # one cheap job over the cached batch yields the broadcast-gate
+        # size AND the per-phase row counts (so empty phases skip their
+        # whole plan below)
+        label_counts = {
+            row["k"]: row["n"] for row in scheduled.groupBy(
+                F.when(is_parse, "parse").when(is_discover, "discover")
+                .otherwise("none").alias("k"))
+            .agg(F.count("*").alias("n")).collect()
+        }
+        n_scheduled_rows = sum(label_counts.values())
+        has_discover = label_counts.get("discover", 0) > 0
         _bcast = (F.broadcast if n_scheduled_rows <= cfg.fetch_broadcast_rows
                   else (lambda df: df))
 
@@ -290,48 +298,56 @@ class CrawlEngine:
             ).withColumn("round", F.lit(r))
         )
 
-        # E1: link expansion from discover rows
-        children = L.expand_links(discover_rows, cfg.n_buckets,
-                                  cfg.rediscover)
-        children = D.first_wins(
-            children.withColumn(
-                "seq", F.col("parent_seq") * 1024 + F.col("pos")
-            ),
-            "url_hash", "seq",
-        ).cache()
-        # Seen-filter maintenance is INCREMENTAL: the per-bucket blooms
-        # come from the previous complete round's snapshot (same round
-        # tag as the seen log they summarize — consistent by
-        # construction) and only this round's inserts are OR-ed in
-        # (O(delta), not O(seen)). The full build runs only when the
-        # base round carries no filter snapshot; buckets that outgrow
-        # their bit array degrade to the exact path and are rebuilt
-        # below, right-sized, from the seen log.
-        filters = None
-        if cfg.use_bloom:
-            if "seen_filters" in bs:
-                filters = self.catalog.read("seen_filters",
-                                            bs["seen_filters"])
-            else:
-                filters = D.build_bloom_filters(
-                    seen.select("host_bucket", "url_hash").distinct(),
-                    capacity=cfg.bloom_capacity)
-        # cached: the sequencer's planning passes (count / bound sample /
-        # bucket counts) and the final consumers all read the dedup
-        # output — one evaluation of the anti-join chain, not four
-        deduped = D.dedup_against_seen(children, seen, filters) \
-                   .drop("seq").cache()
-        fresh = assign_global_seq(
-            deduped, ["parent_seq", "pos"], start=max_seq + 1
-        )
-        # cached: consumed 3x (pending union + seen inserts + count)
-        fresh_frontier = fresh.select(
-            "url", "url_hash", "host", "host_bucket", "depth", "priority",
-            "parser", "label", "discovered_from", "seq",
-            F.lit(r + 1).alias("round"), F.lit("pending").alias("state"),
-            F.lit(0).alias("retry_count"),
-        ).cache()
-        n_fresh = fresh_frontier.count()
+        # E1: link expansion from discover rows. A round with no
+        # discover-labeled rows (the common steady state of two-phase
+        # routing) skips the whole expansion/dedup/sequencing plan —
+        # several driver jobs of pure fixed cost on provably empty data.
+        children = deduped = filters = None
+        if has_discover:
+            children = L.expand_links(discover_rows, cfg.n_buckets,
+                                      cfg.rediscover)
+            children = D.first_wins(
+                children.withColumn(
+                    "seq", F.col("parent_seq") * 1024 + F.col("pos")
+                ),
+                "url_hash", "seq",
+            ).cache()
+            # Seen-filter maintenance is INCREMENTAL: the per-bucket
+            # blooms come from the previous complete round's snapshot
+            # (same round tag as the seen log they summarize —
+            # consistent by construction) and only this round's inserts
+            # are OR-ed in (O(delta), not O(seen)). The full build runs
+            # only when the base round carries no filter snapshot;
+            # buckets that outgrow their bit array degrade to the exact
+            # path and are rebuilt below, right-sized, from the seen
+            # log.
+            if cfg.use_bloom:
+                if "seen_filters" in bs:
+                    filters = self.catalog.read("seen_filters",
+                                                bs["seen_filters"])
+                else:
+                    filters = D.build_bloom_filters(
+                        seen.select("host_bucket", "url_hash").distinct(),
+                        capacity=cfg.bloom_capacity)
+            # cached: the sequencer's planning passes (count / bound
+            # sample / bucket counts) and the final consumers all read
+            # the dedup output — one evaluation of the anti-join chain
+            deduped = D.dedup_against_seen(children, seen, filters) \
+                       .drop("seq").cache()
+            fresh = assign_global_seq(
+                deduped, ["parent_seq", "pos"], start=max_seq + 1
+            )
+            # cached: consumed 3x (pending union + seen inserts + count)
+            fresh_frontier = fresh.select(
+                "url", "url_hash", "host", "host_bucket", "depth",
+                "priority", "parser", "label", "discovered_from", "seq",
+                F.lit(r + 1).alias("round"), F.lit("pending").alias("state"),
+                F.lit(0).alias("retry_count"),
+            ).cache()
+            n_fresh = fresh_frontier.count()
+        else:
+            fresh_frontier = self.spark.createDataFrame([], frontier.schema)
+            n_fresh = 0
 
         # frontier state transitions over the PENDING set only
         fetched_keys = fetched.select("url_hash").withColumn("_new", F.lit("fetched"))
@@ -353,12 +369,12 @@ class CrawlEngine:
                 .when(F.col("_new") == "fetch_failed", "failed")
                 .otherwise(F.col("_new")),
             )
-            .drop("_new")
-            .select(*FRONTIER_COLS)
+            .select(*FRONTIER_COLS, "_new")
         ).cache()
         new_pending = trans.where(F.col("state") == "pending") \
-                           .unionByName(fresh_frontier)
-        archive_delta = trans.where(F.col("state") != "pending")
+                           .select(*FRONTIER_COLS).unionByName(fresh_frontier)
+        archive_delta = trans.where(F.col("state") != "pending") \
+                             .select(*FRONTIER_COLS)
 
         # J3 as events: one fetch event per fetched URL (the MERGE
         # update), one insert event per fresh child (the MERGE insert).
@@ -423,7 +439,12 @@ class CrawlEngine:
             compacted = merged_seen(self.catalog.read("seen", snaps["seen"]))
             snaps["seen"] = self.catalog.write_snapshot(
                 "seen", compacted, {"round": r, "compacted": True})
-        if cfg.use_bloom:
+        if cfg.use_bloom and not has_discover:
+            # no inserts this round: the base filter snapshot is still
+            # exact for the new seen log — re-commit its id unchanged
+            if "seen_filters" in bs:
+                snaps["seen_filters"] = bs["seen_filters"]
+        elif cfg.use_bloom:
             new_filters = D.merge_bloom_filters(
                 filters, insert_events.select("host_bucket", "url_hash"),
                 capacity=cfg.bloom_capacity).cache()
@@ -449,19 +470,19 @@ class CrawlEngine:
         # round-delta DataFrame or a parquet-footer count of this
         # round's newly written files; nothing rescans a cumulative
         # table, so metric cost stays flat as the crawl ages.
-        tc = {row["_new"]: row["n"] for row in
-              transitions.groupBy("_new").agg(F.count("*").alias("n"))
-              .collect()}
-        n_fetched = tc.get("fetched", 0)
-        n_blocked = tc.get("robots_blocked", 0)
-        n_sched = n_fetched + tc.get("fetch_failed", 0)
+        st = trans.groupBy("_new", "state").agg(F.count("*").alias("n")) \
+                  .collect()
+        n_fetched = sum(x["n"] for x in st if x["_new"] == "fetched")
+        n_blocked = sum(x["n"] for x in st if x["_new"] == "robots_blocked")
+        n_sched = n_fetched + sum(x["n"] for x in st
+                                  if x["_new"] == "fetch_failed")
+        pending_after = sum(x["n"] for x in st
+                            if x["state"] == "pending") + n_fresh
         n_articles = self.catalog.snapshot_delta_rowcount(
             "articles", snaps["articles"])
         n_errors = self.catalog.snapshot_delta_rowcount(
             "quarantine", snaps["quarantine"])
-        n_children = children.count()
-        pending_after = trans.where(F.col("state") == "pending").count() \
-            + n_fresh
+        n_children = children.count() if children is not None else 0
         metrics = {
             "round": r,
             "scheduled": n_sched,
@@ -486,8 +507,9 @@ class CrawlEngine:
         self.catalog.commit_round(r, snaps)
         for df in (scheduled, fetched, children, blocked, fresh_frontier,
                    trans, parsed, deduped):
-            df.unpersist()
-        if cfg.use_bloom:
+            if df is not None:
+                df.unpersist()
+        if cfg.use_bloom and has_discover:
             new_filters.unpersist()
         _mark("t_metrics")
         metrics["_timings"] = _tm

@@ -168,11 +168,15 @@ class SnapshotCatalog:
             os.path.join(self._tdir(table), f"snap-{snapshot_id}"))
 
     def snapshot_delta_rowcount(self, table: str, snapshot_id: int) -> int:
-        """Row count of ONLY the data dir written by this snapshot (a
-        parquet-footer metadata job — no data scan). For an append
-        snapshot this is the delta's size; the per-round metrics layer
-        uses it instead of rescanning the whole table."""
-        return self.read_snapshot_delta(table, snapshot_id).count()
+        """Row count of ONLY the data dir written by this snapshot, from
+        parquet footers read driver-side (no Spark job at all — the
+        metrics layer calls this every round). For an append snapshot
+        this is the delta's size."""
+        import pyarrow.parquet as pq
+        d = os.path.join(self._tdir(table), f"snap-{snapshot_id}")
+        return sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d) if f.endswith(".parquet"))
 
     def exists(self, table: str) -> bool:
         return self.current_snapshot(table) is not None
