@@ -172,3 +172,18 @@ class TestSeedFallback:
             self.SCHEMA))
         got = seeds_with_fallback(spark, cat, str(sp), limit=1).collect()
         assert [r["url"] for r in got] == ["https://db.example.com/hi"]
+
+
+def test_latest_content_versions(spark):
+    rows = [("u1", 0, "a1", "h1", "new"), ("u1", 2, "a3", "h2", "updated"),
+            ("u1", 1, "a2", "h1", "duplicate"), ("u2", 0, "a4", "h9", "new")]
+    hist = spark.createDataFrame(
+        [(u, HY.round_timestamp(r), r, a, c, t)
+         for u, r, a, c, t in rows][0:0],  # schema only; rebuild below
+        "url_hash string, scraped_at timestamp, round int, "
+        "article_id string, content_hash string, change_type string")
+    hist = spark.createDataFrame(
+        [(u, None, r, a, c, t) for u, r, a, c, t in rows], hist.schema)
+    got = {r["url_hash"]: (r["round"], r["content_hash"]) for r in
+           HY.latest_content_versions(hist).collect()}
+    assert got == {"u1": (2, "h2"), "u2": (0, "h9")}

@@ -317,3 +317,25 @@ class TestStreaming:
                                                     round(r["sum_value"], 6))
              for r in batch.collect()}
         assert g == b and len(g) >= 4
+
+
+class TestDupClusters:
+    def test_components_min_label(self, spark):
+        from web_scrapers_python_spark.operators.docdedup import dup_clusters
+        # chain 1-2-3, triangle 10-11-12 (+extra edge), isolated pair 20-21
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (21, 20)],
+            "id_a long, id_b long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                       20: 20, 21: 20}
+
+    def test_long_chain_converges(self, spark):
+        from web_scrapers_python_spark.operators.docdedup import dup_clusters
+        n = 12   # diameter > a couple of naive iterations
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+        got = dup_clusters(pairs).collect()
+        assert {r["cluster_id"] for r in got} == {0}
+        assert len(got) == n + 1

@@ -342,3 +342,71 @@ FROM shing a JOIN shing b ON a.blk = b.blk AND a.{id_col} < b.{id_col}
 WHERE len(list_intersect(a.sh, b.sh)) > 0
 ORDER BY jaccard DESC, id_a, id_b LIMIT {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iters: int = 20) -> DataFrame:
+    """Resolve pairwise duplicate edges into clusters: (doc_id,
+    cluster_id) with cluster_id = the MIN doc id of the connected
+    component — the canonical "keep one representative per dup group"
+    step every corpus-dedup pipeline needs after pair generation.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds. Dup components are shallow (near-dup
+    relations are locally transitive), so the loop terminates in a few
+    iterations; ``max_iters`` bounds pathological chains, and the loop
+    exits early at the fixpoint (a count per iteration — cheap, the
+    label table is |vertices-in-pairs|, not |corpus|). At 10^10 pairs
+    swap the propagation step for the large-star/small-star rewriting
+    (same driver loop shape, fewer rounds on high-diameter graphs)."""
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    # each iteration MUST truncate lineage (localCheckpoint, not cache):
+    # the labels plan references itself twice per round, so the logical
+    # plan otherwise doubles every iteration and analysis OOMs the
+    # driver around a dozen rounds. On a cluster use a reliable
+    # checkpoint dir for fault tolerance; the loop shape is identical.
+    labels = sym.select("src").distinct() \
+                .withColumn("label", F.col("src")).localCheckpoint()
+    for _ in range(max_iters):
+        prop = sym.join(labels.withColumnRenamed("src", "dst"), "dst") \
+                  .select("src", "label")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("src").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = new_labels.join(
+            labels.withColumnRenamed("label", "_old"), "src"
+        ).where(F.col("label") < F.col("_old")).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dup_clusters_sql(pairs_sql: str, id_a: str = "id_a",
+                     id_b: str = "id_b") -> str:
+    """DuckDB twin of dup_clusters: transitive closure by recursive CTE
+    (components are small, so the closure is bounded), then min per
+    vertex."""
+    return f"""
+WITH RECURSIVE _pairs AS ({pairs_sql}),
+sym AS (
+  SELECT {id_a} AS s, {id_b} AS d FROM _pairs
+  UNION SELECT {id_b}, {id_a} FROM _pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM sym
+  UNION SELECT s, s FROM sym
+  UNION SELECT r.s, x.d FROM reach r JOIN sym x ON r.d = x.s
+)
+SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s
+"""
