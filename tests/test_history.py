@@ -187,3 +187,19 @@ def test_latest_content_versions(spark):
     got = {r["url_hash"]: (r["round"], r["content_hash"]) for r in
            HY.latest_content_versions(hist).collect()}
     assert got == {"u1": (2, "h2"), "u2": (0, "h9")}
+
+
+def test_catalog_compact_append_table(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    for r in range(4):
+        df = spark.createDataFrame([(r, f"v{r}")], "k int, v string")
+        cat.write_snapshot("t", df, {"round": r}, mode="append")
+    pre = cat.current_snapshot("t")
+    assert len(pre["paths"]) == 4
+    sid = cat.compact("t")
+    cur = cat.current_snapshot("t")
+    assert len(cur["paths"]) == 1 and cur["id"] == sid
+    assert {tuple(r) for r in cat.read("t").collect()} == {
+        (r, f"v{r}") for r in range(4)}
+    # old snapshot still time-travelable
+    assert cat.read("t", snapshot_id=1).count() == 2

@@ -339,3 +339,35 @@ class TestDupClusters:
         got = dup_clusters(pairs).collect()
         assert {r["cluster_id"] for r in got} == {0}
         assert len(got) == n + 1
+
+
+class TestStreamingDedup:
+    def test_stateful_first_seen_matches_batch(self, spark, tmp_path):
+        """applyInPandasWithState seen-set dedup over several
+        micro-batches == batch first-wins (J1/J2), with state carrying
+        across triggers."""
+        import time as _t
+        from web_scrapers_python_spark.operators.dedup import first_wins
+        from web_scrapers_python_spark.streaming.dedup import (
+            EVENT_SCHEMA, run_stream_dedup)
+
+        rows = []
+        for i in range(400):
+            k = i % 150                       # 150 distinct urls, repeats
+            rows.append((f"h{k:03d}", f"https://x.test/{k}", k % 8, i))
+        df = spark.createDataFrame(rows, EVENT_SCHEMA)
+        src = str(tmp_path / "events")
+        # four sequential appends = four files in arrival order == seq
+        # order, so streaming arrival-order dedup equals batch min-seq
+        for lo in range(0, 400, 100):
+            df.where((F.col("seq") >= lo) & (F.col("seq") < lo + 100)) \
+              .coalesce(1).write.mode("append").parquet(src)
+            _t.sleep(1.1)
+
+        got = run_stream_dedup(spark, src, "stream_dedup_t",
+                               str(tmp_path / "ckpt"))
+        want = first_wins(df, "url_hash", "seq")
+        g = {(r["url_hash"], r["seq"]) for r in got.collect()}
+        w = {(r["url_hash"], r["seq"]) for r in want.collect()}
+        assert g == w
+        assert len(g) == 150

@@ -181,6 +181,18 @@ class SnapshotCatalog:
     def exists(self, table: str) -> bool:
         return self.current_snapshot(table) is not None
 
+    def compact(self, table: str,
+                properties: dict[str, Any] | None = None) -> int:
+        """Iceberg ``rewrite_data_files`` analog for append tables:
+        rewrite the current snapshot's accumulated delta dirs into one
+        dir and commit it as a new (overwrite) snapshot. Run every k
+        rounds / on a maintenance schedule — an append-only table
+        otherwise accumulates one directory per round, and the
+        many-small-files tax grows with crawl age. Data is unchanged;
+        old snapshots remain time-travelable."""
+        props = {"compacted": True, **(properties or {})}
+        return self.write_snapshot(table, self.read(table), props)
+
     # -- round transaction ----------------------------------------------------
     def commit_round(self, round_no: int,
                      table_snapshots: dict[str, int]) -> None:
