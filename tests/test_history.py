@@ -203,3 +203,63 @@ def test_catalog_compact_append_table(spark, tmp_path):
         (r, f"v{r}") for r in range(4)}
     # old snapshot still time-travelable
     assert cat.read("t", snapshot_id=1).count() == 2
+
+
+class TestRecrawlTTL:
+    def test_refresh_cohorts_and_change_ladder(self, spark, tmp_path):
+        """recrawl_ttl=2: round r re-enqueues the cohort fetched at
+        r-2. Re-fetches of unchanged pages store duplicate versions;
+        after swapping page content the next refresh stores updated."""
+        n, h, seed = 120, 8, 42
+        pages = G.generate_pages(spark, n, h, seed).cache()
+        policy = spark.createDataFrame(G.host_policy_rows(seed, h),
+                                       POLICY_SCHEMA)
+        sp = tmp_path / "seeds.txt"
+        sp.write_text("\n".join(
+            json.dumps({"url": G.url_of(seed, i, h), "label": "a"})
+            for i in range(6)))
+        cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+        cfg = CrawlConfig(recrawl_ttl=2)
+        eng = CrawlEngine(spark, pages, policy, cat, cfg)
+        ms = eng.run(read_seeds(spark, str(sp)), max_rounds=4)
+        # rounds: 0 discover, 1 parse, 2 re-enqueue round-0 cohort,
+        # 3 re-enqueue round-1 cohort (the parsed articles)
+        assert len(ms) == 4
+        assert ms[2]["recrawl_enqueued"] == ms[0]["fetched"]
+        assert ms[3]["recrawl_enqueued"] == ms[1]["fetched"]
+        hist = cat.read("content_history")
+        by_type = {r["change_type"]: r["n"] for r in
+                   hist.groupBy("change_type").agg(
+                       F.count("*").alias("n")).collect()}
+        n_first = ms[1]["articles_scraped"]
+        assert by_type.get("new") == n_first
+        # identical pages re-stored -> duplicate versions
+        assert by_type.get("duplicate") == ms[3]["articles_scraped"]
+        assert "updated" not in by_type
+        # seen merge: re-fetched urls have scrape_count 2
+        from web_scrapers_python_spark.plans.engine import merged_seen
+        sc = merged_seen(cat.read("seen")).where(F.col("scrape_count") >= 2)
+        assert sc.count() == ms[2]["fetched"] + ms[3]["fetched"]
+
+        # now the site changes: same warehouse, page BODIES mutated
+        # (word swap inside extracted content; hrefs/urls untouched)
+        dup_before = by_type.get("duplicate", 0)
+        pages2 = pages.withColumn(
+            "html", F.encode(F.regexp_replace(
+                F.decode(F.col("html"), "UTF-8"),
+                "study", "revised"), "UTF-8"))
+        eng2 = CrawlEngine(spark, pages2, policy, cat, cfg)
+        eng2.run_round(4)        # re-enqueues round-2 cohort (discover)
+        m5 = eng2.run_round(5)   # re-enqueues round-3 cohort (parse)
+        assert m5["recrawl_enqueued"] == ms[3]["fetched"]
+        by_type2 = {r["change_type"]: r["n"] for r in
+                    cat.read("content_history").groupBy("change_type")
+                    .agg(F.count("*").alias("n")).collect()}
+        n_upd = by_type2.get("updated", 0)
+        n_dup5 = by_type2.get("duplicate", 0) - dup_before
+        assert n_upd > 0                      # real change detected
+        assert n_upd + n_dup5 == m5["articles_scraped"]
+        # latest version per changed url is the round-5 'updated' store
+        latest = HY.latest_content_versions(cat.read("content_history"))
+        assert latest.where(F.col("change_type") == "updated").count() \
+            == n_upd

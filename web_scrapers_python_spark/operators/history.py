@@ -77,7 +77,9 @@ def content_history_delta(stored: DataFrame, prior: DataFrame | None,
         "url_hash", F.col("id").alias("article_id"), "content_hash")
     if prior is None:
         prev = cur.select("url_hash",
-                          F.lit(None).cast("string").alias("_prev_hash"))
+                          F.lit(None).cast("string").alias("_prev_hash"),
+                          F.lit(None).cast("int").alias("_has_prev")) \
+                  .limit(0)
     else:
         w = Window.partitionBy("url_hash").orderBy(
             F.col("round").desc(), F.col("article_id").desc())
@@ -87,15 +89,20 @@ def content_history_delta(stored: DataFrame, prior: DataFrame | None,
             .join(cur.select("url_hash"), "url_hash", "left_semi")
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .select("url_hash", F.col("content_hash").alias("_prev_hash"))
+            .select("url_hash", F.col("content_hash").alias("_prev_hash"),
+                    F.lit(1).alias("_has_prev"))
         )
+    # _has_prev distinguishes "no prior version" from "prior version
+    # with a NULL content hash" (weibo posts may store null content);
+    # the hash comparison itself is null-safe for the same reason.
     return (
         cur.join(prev, "url_hash", "left")
         .withColumn(
             "change_type",
-            F.when(F.col("_prev_hash").isNull(), "new")
-            .when(F.col("_prev_hash") != F.col("content_hash"), "updated")
-            .otherwise("duplicate"))
+            F.when(F.col("_has_prev").isNull(), "new")
+            .when(F.col("_prev_hash").eqNullSafe(F.col("content_hash")),
+                  "duplicate")
+            .otherwise("updated"))
         .withColumn("scraped_at", round_timestamp(r))
         .withColumn("round", F.lit(r))
         .select(*HISTORY_COLS)

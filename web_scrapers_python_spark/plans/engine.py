@@ -122,6 +122,13 @@ class CrawlConfig:
     # every k rounds the seen event log is compacted to its merged view
     # (Iceberg rewrite_data_files); amortized write cost O(seen/k).
     compact_seen_every: int = 16
+    # refresh crawls: re-enqueue URLs fetched exactly `recrawl_ttl`
+    # rounds ago. Each round re-enqueues ONE cohort — the archive delta
+    # of round r-ttl — so the cost is O(that round's fetches), never a
+    # scan of the cumulative seen/archive state. Re-fetches append new
+    # article versions; content_history classifies them
+    # updated/duplicate against the latest stored hash.
+    recrawl_ttl: int | None = None
 
     def order_by(self) -> list:
         if self.order == "priority":
@@ -209,6 +216,34 @@ class CrawlEngine:
         if max_seq is None:      # pre-split warehouse fallback
             max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
         _mark("t_read_state")
+
+        # refresh cohort: the rows fetched exactly ttl rounds ago,
+        # read from THAT round's archive delta dir alone (one snapshot
+        # lookup — O(cohort), no cumulative scan). They re-enter
+        # pending with their ORIGINAL seq, so FIFO order re-crawls
+        # oldest-first.
+        n_recrawl = 0
+        recrawl_cohort = None
+        if cfg.recrawl_ttl is not None:
+            due_round = r - cfg.recrawl_ttl
+            due_entry = next((e for e in self.catalog.rounds()
+                              if e["round"] == due_round
+                              and "frontier_archive" in e["snapshots"]),
+                             None)
+            if due_entry is not None and due_round >= 0:
+                cohort = (
+                    self.catalog.read_snapshot_delta(
+                        "frontier_archive",
+                        due_entry["snapshots"]["frontier_archive"])
+                    .where(F.col("state") == "fetched")
+                    .withColumn("state", F.lit("pending"))
+                    .withColumn("retry_count", F.lit(0))
+                    .select(*FRONTIER_COLS)
+                ).cache()
+                recrawl_cohort = cohort
+                n_recrawl = cohort.count()
+                if n_recrawl:
+                    frontier = frontier.unionByName(cohort)
 
         pending = frontier
         if cfg.max_depth is not None:
@@ -548,6 +583,7 @@ class CrawlEngine:
             "links_discovered": n_children,
             "links_enqueued": n_fresh,
             "duplicates_skipped": n_children - n_fresh,
+            "recrawl_enqueued": n_recrawl,
             "pending_after": pending_after,
         }
         mdf = self.spark.createDataFrame(
@@ -560,7 +596,7 @@ class CrawlEngine:
             base_snapshot_id=bs.get("round_metrics", -1))
         self.catalog.commit_round(r, snaps)
         for df in (scheduled, fetched, children, blocked, fresh_frontier,
-                   trans, deduped):
+                   trans, deduped, recrawl_cohort):
             if df is not None:
                 df.unpersist()
         if cfg.use_bloom and has_discover:
@@ -584,6 +620,8 @@ class CrawlEngine:
         for r in range(start, start + limit):
             m = self.run_round(r)
             out.append(m)
-            if m["pending_after"] == 0:
+            # refresh crawls (recrawl_ttl) idle between cohorts: future
+            # cohorts can still come due, so only max_rounds bounds them
+            if m["pending_after"] == 0 and self.cfg.recrawl_ttl is None:
                 break
         return out
