@@ -26,6 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SEED = 42
+EXEC_MODE = False   # set by --executors: local-cluster[N,2,6144] levels
 
 # body_scale=6 ≈ 10-40 KB pages — representative Common-Crawl page
 # weight (the default sf-test corpus at scale 1 is unrealistically thin,
@@ -38,14 +39,31 @@ SMALL = dict(n_pages=30_000, n_hosts=256, n_seeds=12_000,
              body_scale=6)
 
 
-def build_spark(cpus: int):
+def build_spark(cpus: int, force_local: bool = False):
     from pyspark.sql import SparkSession
+    if EXEC_MODE and not force_local:
+        # REAL multi-executor evidence: local-cluster spawns `cpus/2`
+        # separate executor JVMs (2 cores, 6 GB each) talking to the
+        # driver over the standalone-master protocol — actual
+        # cross-process shuffle/broadcast/task dispatch, the closest
+        # this sandbox gets to adding machines. `cpus` stays the TOTAL
+        # core count so workload math is unchanged.
+        n_exec = max(1, cpus // 2)
+        master = f"local-cluster[{n_exec},2,6144]"
+    else:
+        master = f"local[{cpus}]"
+    # local[*] runs tasks (and their Arrow direct buffers) inside the
+    # driver JVM -> big heap; local-cluster moves them into executors
+    driver_mem = "8g" if (EXEC_MODE and not force_local) else "24g"
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(f"scaling-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.executor.memory", "6g")
+        .config("spark.executorEnv.PYTHONPATH",
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -62,7 +80,7 @@ def gen_corpus(workdir: str, cfg: dict) -> str:
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     from web_scrapers_python_spark.sources import datagen as G
-    spark = build_spark(os.cpu_count() or 32)
+    spark = build_spark(os.cpu_count() or 32, force_local=True)
     try:
         G.generate_pages(spark, cfg["n_pages"], cfg["n_hosts"], SEED,
                          body_scale=cfg.get("body_scale", 1)) \
@@ -149,6 +167,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--executors", action="store_true",
+                    help="levels are TOTAL cores run as local-cluster "
+                         "with cores/2 real executor JVMs (2 cores, "
+                         "6 GB each) — executor-scaling evidence")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--run-level", type=int, default=None,
@@ -157,6 +179,8 @@ def main() -> None:
     args = ap.parse_args()
     cfg = SMALL if args.small else FULL
     workdir = args.workdir or tempfile.mkdtemp(prefix="scaling-bench-")
+    global EXEC_MODE
+    EXEC_MODE = args.executors
 
     if args.run_level is not None:
         # child mode: one level per process — a fresh JVM per level so
@@ -178,7 +202,9 @@ def main() -> None:
             time.sleep(15)   # let the previous JVM's I/O and page cache settle
         cmd = [sys.executable, os.path.abspath(__file__),
                "--run-level", str(cpus), "--pages", pages_path,
-               "--workdir", workdir] + (["--small"] if args.small else [])
+               "--workdir", workdir] \
+            + (["--small"] if args.small else []) \
+            + (["--executors"] if args.executors else [])
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               cwd=os.path.dirname(os.path.dirname(
                                   os.path.abspath(__file__))))
@@ -189,14 +215,17 @@ def main() -> None:
             print(proc.stderr[-2000:], file=sys.stderr)
             raise RuntimeError(f"level {cpus} failed")
         results[cpus] = json.loads(line[-1][len("RESULT "):])
-        print(f"LEVEL local[{cpus}]: {results[cpus]['urls_per_sec']} urls/s "
+        lbl = (f"local-cluster[{max(1, cpus // 2)}x2cores]"
+               if args.executors else f"local[{cpus}]")
+        print(f"LEVEL {lbl}: {results[cpus]['urls_per_sec']} urls/s "
               f"({results[cpus]['sec']}s)", file=sys.stderr)
 
     lo, hi = min(levels), max(levels)
     factor = hi / lo
     eff = results[hi]["urls_per_sec"] / (factor * results[lo]["urls_per_sec"])
     out = {
-        "config": cfg, "gen_sec": gen_sec,
+        "config": cfg, "mode": "local-cluster" if args.executors else "local",
+        "gen_sec": gen_sec,
         "levels": {str(k): v for k, v in results.items()},
         "scaling": {
             "n_cores": lo, "four_n_cores": hi, "factor": factor,

@@ -113,12 +113,16 @@ class CrawlConfig:
     max_depth: int | None = None
     max_rounds: int = 100
     # J4 physical strategy: broadcast the scheduled batch into the pages
-    # join only while it is provably small. Beyond the threshold the
+    # join only while it is provably SMALL. Beyond the threshold the
     # hint is dropped and AQE picks the join from runtime stats (on a
     # real warehouse: sort-merge against the url_hash-bucketed pages
     # table, no pages shuffle). An unconditional broadcast of a
-    # budget x hosts batch OOMs the driver at the 10^10 design point.
-    fetch_broadcast_rows: int = 1_000_000
+    # budget x hosts batch OOMs the driver at the 10^10 design point —
+    # and measured on real (local-cluster) executors, even a 100k-row
+    # forced broadcast is ~30% slower than letting AQE decide (the
+    # driver eagerly collects+ships one exchange per phase branch), so
+    # the default gate is deliberately modest.
+    fetch_broadcast_rows: int = 100_000
     # every k rounds the seen event log is compacted to its merged view
     # (Iceberg rewrite_data_files); amortized write cost O(seen/k).
     compact_seen_every: int = 16
