@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-SAMPLES_PER_PART = 64
+SAMPLE_MOD = 1024     # systematic sample ~ n/1024 keys for bucket bounds
 
 
 def _lex_ge(cols: list[Column], vals: tuple) -> Column:
@@ -50,25 +50,36 @@ def _lex_ge(cols: list[Column], vals: tuple) -> Column:
 
 def assign_global_seq(df: DataFrame, order_by: list[str], start: int = 0,
                       out_col: str = "seq",
-                      num_partitions: int | None = None) -> DataFrame:
+                      num_partitions: int | None = None,
+                      with_count: bool = False):
     """Add ``out_col`` = start + 0-based dense rank of the row in the
     global (order_by) ordering. order_by must be a unique, non-null
     composite key for determinism. The result is safe to re-evaluate
-    (all plan inputs are frozen literals)."""
+    (all plan inputs are frozen literals).
+
+    ``with_count=True`` returns ``(df, n)`` — the input row count falls
+    out of the planning pass for free, and callers that would otherwise
+    run their own count() save one job barrier (they add up: driver
+    round-trips dominate short rounds, especially on real executors).
+    Planning is two driver jobs total: one fused count+bound-sample
+    aggregate, one per-bucket count."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(c) for c in order_by]
 
-    n = df.count()
+    # one job: row count + deterministic systematic key sample (no RNG,
+    # no seed — identical for every evaluation of the same input)
+    agg_row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list(
+            F.when(F.pmod(F.xxhash64(*keys), F.lit(SAMPLE_MOD)) == 0,
+                   F.struct(*keys))
+        ).alias("sample"),
+    ).collect()[0]
+    n = int(agg_row["n"])
     if n == 0:
-        return df.withColumn(out_col, F.lit(start).cast("long"))
-
-    # deterministic systematic sample by key hash (no RNG, no seed —
-    # identical for every evaluation of the same input)
-    mod = max(1, n // max(parts * SAMPLES_PER_PART, 1))
-    sample = sorted(
-        tuple(r) for r in df.select(*keys).where(
-            F.pmod(F.xxhash64(*keys), F.lit(mod)) == 0).collect()
-    )
+        out = df.withColumn(out_col, F.lit(start).cast("long"))
+        return (out, 0) if with_count else out
+    sample = sorted(tuple(r) for r in agg_row["sample"])
     bounds: list[tuple] = []
     for i in range(1, parts):
         j = (i * len(sample)) // parts
@@ -111,8 +122,9 @@ def assign_global_seq(df: DataFrame, order_by: list[str], start: int = 0,
             b[out_col] = pd.concat(seqs).sort_index()
             yield b
 
-    return (
+    out = (
         work.repartition(min(parts, len(bounds) + 1), "_bkt")
         .sortWithinPartitions("_bkt", *keys)
         .mapInPandas(number, schema)
     )
+    return (out, n) if with_count else out

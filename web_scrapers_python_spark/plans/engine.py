@@ -369,17 +369,18 @@ class CrawlEngine:
             # the dedup output — one evaluation of the anti-join chain
             deduped = D.dedup_against_seen(children, seen, filters) \
                        .drop("seq").cache()
-            fresh = assign_global_seq(
-                deduped, ["parent_seq", "pos"], start=max_seq + 1
+            fresh, n_fresh = assign_global_seq(
+                deduped, ["parent_seq", "pos"], start=max_seq + 1,
+                with_count=True,
             )
-            # cached: consumed 3x (pending union + seen inserts + count)
+            # cached: consumed 2x (pending union + seen inserts); its
+            # row count fell out of the sequencer's planning pass
             fresh_frontier = fresh.select(
                 "url", "url_hash", "host", "host_bucket", "depth",
                 "priority", "parser", "label", "discovered_from", "seq",
                 F.lit(r + 1).alias("round"), F.lit("pending").alias("state"),
                 F.lit(0).alias("retry_count"),
             ).cache()
-            n_fresh = fresh_frontier.count()
         else:
             fresh_frontier = self.spark.createDataFrame([], frontier.schema)
             n_fresh = 0
