@@ -201,7 +201,13 @@ def run_state_probe(spark) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Default parallelism: HALF the advertised cores. A PySpark UDF
+    # pipeline runs one JVM task thread + one Python worker per Spark
+    # core — local[cpu_count] schedules 2x cpu_count runnable processes
+    # and oversubscribes SMT-logical cores. Measured on this box:
+    # local[16] beats local[32] by 50-70% on the crawl benchmark.
+    cpus = int(os.environ.get(
+        "SPARK_GRAFT_CPUS", str(max(2, (os.cpu_count() or 32) // 2))))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
