@@ -371,3 +371,50 @@ class TestStreamingDedup:
         w = {(r["url_hash"], r["seq"]) for r in want.collect()}
         assert g == w
         assert len(g) == 150
+
+
+class TestSequencerProperties:
+    """Property tests for the frozen-bucket global sequencer — ranks
+    must equal the sorted index for ANY key distribution, and must be
+    stable across re-evaluations (the bug class: per-job-resampled
+    range bounds)."""
+
+    def test_random_longs_property(self, spark):
+        from hypothesis import given, settings, strategies as st
+        from web_scrapers_python_spark.operators.sequence import (
+            assign_global_seq)
+
+        @settings(max_examples=5, deadline=None)
+        @given(st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                        min_size=1, max_size=300, unique=True))
+        def check(keys):
+            df = spark.createDataFrame([(k,) for k in keys], "k long")
+            out = assign_global_seq(df, ["k"], start=7)
+            got = {r["k"]: r["seq"] for r in out.collect()}
+            want = {k: 7 + i for i, k in enumerate(sorted(keys))}
+            assert got == want
+
+        check()
+
+    def test_skewed_and_clustered_keys(self, spark):
+        from web_scrapers_python_spark.operators.sequence import (
+            assign_global_seq)
+        # heavy clustering: most keys in one tight range + outliers
+        keys = list(range(1000, 1200)) + [-10**12, 10**12, 0]
+        df = spark.createDataFrame([(k,) for k in keys], "k long") \
+                  .repartition(7)
+        out = assign_global_seq(df, ["k"])
+        got = {r["k"]: r["seq"] for r in out.collect()}
+        assert got == {k: i for i, k in enumerate(sorted(keys))}
+
+    def test_reevaluation_stability_with_downstream_ops(self, spark):
+        from web_scrapers_python_spark.operators.sequence import (
+            assign_global_seq)
+        df = spark.createDataFrame(
+            [(i * 37 % 5000,) for i in range(5000)], "k long").distinct()
+        out = assign_global_seq(df, ["k"])
+        # two independent actions over the SAME plan must agree row-for-row
+        a = {r["k"]: r["seq"] for r in out.collect()}
+        b = {r["k"]: r["seq"] for r in
+             out.where(F.col("seq") >= 0).collect()}
+        assert a == b
