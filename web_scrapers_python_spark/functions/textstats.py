@@ -139,6 +139,17 @@ def doc_quality_score_sql(e: str) -> str:
 # Language identification (stopword-profile argmax)
 # ---------------------------------------------------------------------------
 
+def _char_class(words: list[str]) -> str:
+    """Regex char class over the profile's characters, with class
+    metacharacters (']', '^', '-', '\\') escaped — a future profile
+    edit must not silently corrupt the pattern. The escaping is
+    identical in Java regex (Spark) and RE2 (DuckDB), so both twins
+    stay in lockstep."""
+    chars = "".join(words)
+    return "[" + "".join(
+        ("\\" + c) if c in "]^-\\[" else c for c in chars) + "]"
+
+
 def _profile_count(nrm: Column, lang: str, words: list[str]) -> Column:
     """Hits of one language profile against normalized text. Scripts
     written without word separators (zh) can't be token-matched —
@@ -146,17 +157,16 @@ def _profile_count(nrm: Column, lang: str, words: list[str]) -> Column:
     single-character stopword — so zh counts profile-CHARACTER
     occurrences instead (length delta after stripping them)."""
     if lang == "zh":
-        char_class = "[" + "".join(words) + "]"
-        return F.length(nrm) - F.length(F.regexp_replace(nrm, char_class, ""))
+        return F.length(nrm) - F.length(
+            F.regexp_replace(nrm, _char_class(words), ""))
     toks = F.split(nrm, " ")
     return F.size(F.filter(toks, lambda t: t.isin(*set(words))))
 
 
 def _profile_count_sql(nrm: str, lang: str, words: list[str]) -> str:
     if lang == "zh":
-        char_class = "[" + "".join(words) + "]"
         return (f"(len({nrm}) - len(regexp_replace({nrm}, "
-                f"'{char_class}', '', 'g')))")
+                f"'{_char_class(words)}', '', 'g')))")
     inlist = ", ".join(f"'{w}'" for w in words)
     return (f"len(list_filter(string_split({nrm}, ' '), "
             f"t -> t IN ({inlist})))")

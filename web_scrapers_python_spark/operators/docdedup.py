@@ -363,7 +363,12 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     exits early at the fixpoint (a count per iteration — cheap, the
     label table is |vertices-in-pairs|, not |corpus|). At 10^10 pairs
     swap the propagation step for the large-star/small-star rewriting
-    (same driver loop shape, fewer rounds on high-diameter graphs)."""
+    (same driver loop shape, fewer rounds on high-diameter graphs).
+
+    Non-convergence is an ERROR, not a silent truncation: min-label
+    propagation advances one hop per iteration, so a component whose
+    diameter exceeds ``max_iters`` would otherwise return split
+    clusters with no signal — the loop raises instead."""
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -388,6 +393,11 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} iterations "
+            "(a dup component's diameter exceeds max_iters); raise "
+            "max_iters or switch to large-star/small-star rewriting")
     return labels.select(F.col("src").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -35,7 +35,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-SAMPLE_MOD = 1024     # systematic sample ~ n/1024 keys for bucket bounds
+SAMPLE_MOD = 1024     # systematic sample thins to ~n/1024 candidates
+SAMPLE_PER_PART = 256  # per-partition cap: driver sees O(parts * 256)
 
 
 def _lex_ge(cols: list[Column], vals: tuple) -> Column:
@@ -66,20 +67,31 @@ def assign_global_seq(df: DataFrame, order_by: list[str], start: int = 0,
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(c) for c in order_by]
 
-    # one job: row count + deterministic systematic key sample (no RNG,
-    # no seed — identical for every evaluation of the same input)
-    agg_row = df.agg(
+    # one job: row count + deterministic BOUNDED key sample (no RNG, no
+    # seed). The pmod filter thins to ~n/SAMPLE_MOD candidates; the
+    # per-partition min-hash truncation (sort by hash, keep the
+    # SAMPLE_PER_PART smallest) bounds what crosses the final exchange
+    # and lands on the driver to O(parts * constant) structs — an
+    # unbounded n/1024 sample is ~10^7 structs (GBs) through a single
+    # reduce task at the 10^10 design point. Truncating by smallest
+    # hash keeps the subsample uniform over the key space, and ANY
+    # valid sample yields the same final seq (bounds only choose the
+    # bucketing; the numbering is fixed by the global key order).
+    h = F.xxhash64(*keys)
+    part_stats = df.groupBy(F.spark_partition_id().alias("_pid")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.collect_list(
-            F.when(F.pmod(F.xxhash64(*keys), F.lit(SAMPLE_MOD)) == 0,
-                   F.struct(*keys))
-        ).alias("sample"),
-    ).collect()[0]
-    n = int(agg_row["n"])
+        F.slice(
+            F.array_sort(F.collect_list(
+                F.when(F.pmod(h, F.lit(SAMPLE_MOD)) == 0,
+                       F.struct(h.alias("_h"),
+                                F.struct(*keys).alias("_k"))))),
+            1, SAMPLE_PER_PART).alias("sample"),
+    ).collect()
+    n = int(sum(r["n"] for r in part_stats))
     if n == 0:
         out = df.withColumn(out_col, F.lit(start).cast("long"))
         return (out, 0) if with_count else out
-    sample = sorted(tuple(r) for r in agg_row["sample"])
+    sample = sorted(tuple(s["_k"]) for r in part_stats for s in r["sample"])
     bounds: list[tuple] = []
     for i in range(1, parts):
         j = (i * len(sample)) // parts

@@ -158,21 +158,26 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    # vectors join back once per unique pair
+    # vectors join back once per unique pair; norms are precomputed
+    # once per VECTOR before the join (N + M sqrt-dots, not 2 more per
+    # candidate pair) — same arithmetic as brute_topk's prep, so the
+    # cosine value (hence the oracle hash) is bit-identical
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qv = queries.select(F.col(id_col).alias("query_id"),
-                        dv.alias("_queryv"))
+                        dv.alias("_queryv")) \
+        .withColumn("_queryn", F.sqrt(_dot(F.col("_queryv"),
+                                           F.col("_queryv"))))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       dv.alias("_neighborv"))
+                       dv.alias("_neighborv")) \
+        .withColumn("_neighborn", F.sqrt(_dot(F.col("_neighborv"),
+                                              F.col("_neighborv"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (
         cand.join(cv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .withColumn("cosine_sim", _dot(F.col("_queryv"), F.col("_neighborv"))
-                    / (F.sqrt(_dot(F.col("_queryv"), F.col("_queryv")))
-                       * F.sqrt(_dot(F.col("_neighborv"),
-                                     F.col("_neighborv")))))
+                    / (F.col("_queryn") * F.col("_neighborn")))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
@@ -208,12 +213,14 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int,
         .select("id_a", "id_b")
         .distinct()
     )
+    # per-vector norms precomputed before the join (see lsh_topk)
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    va = df.select(F.col(id_col).alias("id_a"), dv.alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), dv.alias("_vb"))
+    va = df.select(F.col(id_col).alias("id_a"), dv.alias("_va")) \
+        .withColumn("_na", F.sqrt(_dot(F.col("_va"), F.col("_va"))))
+    vb = df.select(F.col(id_col).alias("id_b"), dv.alias("_vb")) \
+        .withColumn("_nb", F.sqrt(_dot(F.col("_vb"), F.col("_vb"))))
     cos = (_dot(F.col("_va"), F.col("_vb"))
-           / (F.sqrt(_dot(F.col("_va"), F.col("_va")))
-              * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))))
+           / (F.col("_na") * F.col("_nb")))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cosine_sim", cos)

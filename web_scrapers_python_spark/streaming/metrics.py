@@ -57,10 +57,14 @@ def run_to_memory(spark: SparkSession, src_path: str, table: str,
     (test/bench harness): processes all present files then stops.
 
     Default is append mode — the documented production semantics, where
-    the watermark finalizes and evicts window state. availableNow's
-    final no-more-data batch advances the watermark past every window
-    present in the input, so all windows emit. ``complete`` remains
-    available for sinks that want full-recompute snapshots."""
+    the watermark finalizes and evicts window state. Note the watermark
+    only advances to max(event_time) - watermark_delay, so windows that
+    overlap the trailing watermark interval are NOT finalized and never
+    emit in append mode (they stay in state when the availableNow run
+    stops). A full backfill must either append a sentinel event at
+    least ``watermark`` past the last real event (what the tests do) or
+    use ``output_mode='complete'``, which snapshots every window
+    including unfinalized ones."""
     q = (
         windowed_event_counts(stream_events(spark, src_path),
                               window, watermark)
