@@ -222,7 +222,7 @@ def run_state_probe(spark) -> dict:
                 F.lit("pending").alias("status"))
             base = cat.last_complete_round()["snapshots"]
             ss = cat.write_snapshot("seen", synth, {"round": -1},
-                                    mode="append")
+                                    mode="append", shard_col="host_bucket")
             cat.commit_round(-1, {**base, "seen": ss})
             eng.run_round(0)          # pays the one-off full bloom build
             t0 = time.time()
@@ -238,6 +238,106 @@ def run_state_probe(spark) -> dict:
         "seen_small": PROBE_SEEN_SMALL, "t_round_small_sec": t_small,
         "seen_big": PROBE_SEEN_SMALL * 10, "t_round_big_sec": t_big,
         "round_cost_ratio_10x_seen": round(t_big / t_small, 3),
+    }
+
+
+PROBE_PENDING_SMALL = 300_000
+PROBE_COLD_HOSTS = 3000
+
+
+def run_pending_probe(spark) -> dict:
+    """Round-cost-vs-BACKLOG probe: the same round workload against a
+    pending frontier of P vs 10P rows. The backlog models the design
+    point's budget-starved queue — rows whose hosts have no politeness
+    budget this round — spread over the bucket space (n_buckets=1024 vs
+    64 active hosts, so touched buckets hold ~6% of the backlog). With
+    the shard-scoped frontier commit (only touched buckets rewritten)
+    and the partial WindowGroupLimit in scheduling (per-host top-B
+    prunes map-side), round wall time must stay ~flat: the target is
+    ratio <= 1.2. Round 0 (first incremental-filter round) is the
+    warm-up; round 1 (steady state) is measured."""
+    from pyspark.sql import functions as F
+    from web_scrapers_python_spark.operators import links as L
+    from web_scrapers_python_spark.plans.engine import (
+        FRONTIER_COLS, CrawlConfig, CrawlEngine)
+    from web_scrapers_python_spark.sources import datagen as G
+    from web_scrapers_python_spark.sources.catalog import SnapshotCatalog
+    from web_scrapers_python_spark.sources.seeds import read_seeds
+
+    seed, n, n_hosts, n_buckets = 42, 3000, 64, 1024
+    pages = G.generate_pages(spark, n, n_hosts, seed).cache()
+    pages.count()
+    policy_rows = G.host_policy_rows(seed, n_hosts)
+    cold = [{"host": f"cold{j}.example.com", "crawl_delay": 86400.0,
+             "max_per_round": 0, "robots_disallow": []}
+            for j in range(PROBE_COLD_HOSTS)]
+    policy = spark.createDataFrame(
+        policy_rows + cold,
+        "host string, crawl_delay double, max_per_round int, "
+        "robots_disallow array<string>")
+
+    def one(n_extra: int) -> float:
+        wh = tempfile.mkdtemp(prefix="pprobe-")
+        try:
+            sd = os.path.join(wh, "seeds.txt")
+            with open(sd, "w") as f:
+                f.write(G.seeds_text(seed, n, n_hosts, 64))
+            cat = SnapshotCatalog(spark, wh)
+            cfg = CrawlConfig(use_bloom=True, default_budget=8,
+                              n_buckets=n_buckets)
+            eng = CrawlEngine(spark, pages, policy, cat, cfg)
+            eng.bootstrap(read_seeds(spark, sd))
+            # inject the synthetic backlog as far-future-FIFO pending
+            # rows on zero-budget hosts, plus their seen insert events
+            # (the engine invariant: every pending row is seen)
+            base = cat.last_complete_round()["snapshots"]
+            synth = L.with_url_identity(
+                spark.range(n_extra).select(
+                    F.concat(F.lit("https://cold"),
+                             F.pmod(F.col("id"),
+                                    F.lit(PROBE_COLD_HOSTS)).cast("string"),
+                             F.lit(".example.com/p/"),
+                             F.col("id").cast("string")).alias("url"),
+                    F.lit("PARSE").alias("label"),
+                    F.lit(None).cast("string").alias("parser"),
+                    F.lit(0).alias("priority"),
+                    (F.lit(1_000_000_000) + F.col("id")).alias("seq"),
+                ), n_buckets) \
+                .withColumn("depth", F.lit(1)) \
+                .withColumn("discovered_from", F.lit(None).cast("string")) \
+                .withColumn("round", F.lit(0)) \
+                .withColumn("state", F.lit("pending")) \
+                .withColumn("retry_count", F.lit(0)) \
+                .select(*FRONTIER_COLS)
+            pend = cat.read("frontier", base["frontier"]) \
+                      .unionByName(synth)
+            fs = cat.write_snapshot(
+                "frontier", pend,
+                {"round": -1, "max_seq": 1_000_000_000 + n_extra},
+                shard_col="host_bucket")
+            seen_ev = synth.select(
+                "url_hash", "url", "host_bucket",
+                F.lit(0).alias("first_round"), F.lit(0).alias("last_round"),
+                F.lit(0).alias("scrape_count"),
+                F.lit("pending").alias("status"))
+            ss = cat.write_snapshot("seen", seen_ev, {"round": -1},
+                                    mode="append", shard_col="host_bucket",
+                                    base_snapshot_id=base["seen"])
+            cat.commit_round(-1, {**base, "frontier": fs, "seen": ss})
+            eng.run_round(0)      # warm-up: first incremental-bloom round
+            t0 = time.time()
+            eng.run_round(1)      # steady-state round, measured
+            return round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    one(1000)  # warm codegen/plan caches so the first timed run is fair
+    t_small = one(PROBE_PENDING_SMALL)
+    t_big = one(PROBE_PENDING_SMALL * 10)
+    return {
+        "pending_small": PROBE_PENDING_SMALL, "t_round_small_sec": t_small,
+        "pending_big": PROBE_PENDING_SMALL * 10, "t_round_big_sec": t_big,
+        "round_cost_ratio_10x_pending": round(t_big / t_small, 3),
     }
 
 
@@ -259,9 +359,10 @@ def main() -> None:
         crawl = run_crawl(spark, repeats=repeats)
         times, runs = run_suite(spark, sf_dir, repeats=repeats)
         recall = run_ann_recall(spark, sf_dir)
-        probe = None
+        probe = pprobe = None
         if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
             probe = run_state_probe(spark)
+            pprobe = run_pending_probe(spark)
         total = round(sum(times.values()) + crawl["sec"], 3)
         out = {
             "metric": "suite+crawl wall sec (headline: crawl urls/sec; "
@@ -277,6 +378,8 @@ def main() -> None:
         }
         if probe is not None:
             out["state_probe"] = probe
+        if pprobe is not None:
+            out["pending_probe"] = pprobe
         print(json.dumps(out))
     finally:
         spark.stop()

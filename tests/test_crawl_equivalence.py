@@ -175,12 +175,31 @@ def test_seen_compaction_equivalence(spark, pages, policy, seeds_df,
     """Compacting the seen event log every round must not change any
     observable state (merge is idempotent over disjoint event sets) —
     and the bloom path must stay consistent across compactions."""
-    cfg = CrawlConfig(use_bloom=True, compact_seen_every=1)
+    cfg = CrawlConfig(use_bloom=True, compact_seen_every=1,
+                      seen_compact_groups=1)
     cat, metrics = _run_engine(spark, pages, policy, seeds_df, tmp_path, cfg)
     _assert_matches_golden(cat, metrics, golden)
     # post-compaction the log IS the merged view: one row per url_hash
     seen = cat.read("seen")
     assert seen.count() == seen.select("url_hash").distinct().count()
+
+
+def test_seen_rotating_compaction_equivalence(spark, pages, policy, seeds_df,
+                                              golden, tmp_path):
+    """Rotating per-group compaction (each event rewrites only one
+    bucket group's shards — the amortized O(seen/groups) path) must
+    leave every observable state identical to the uncompacted run, and
+    the most recently compacted group's log must be fully merged."""
+    cfg = CrawlConfig(use_bloom=True, compact_seen_every=1,
+                      seen_compact_groups=4)
+    cat, metrics = _run_engine(spark, pages, policy, seeds_df, tmp_path, cfg)
+    _assert_matches_golden(cat, metrics, golden)
+    groups = 4
+    last_r = metrics[-1]["round"]
+    g = ((last_r + 1) // 1 - 1) % groups
+    seen_g = cat.read("seen").where(F.pmod(F.col("host_bucket"), F.lit(groups))
+                                    == F.lit(g))
+    assert seen_g.count() == seen_g.select("url_hash").distinct().count()
 
 
 def test_resume_from_snapshot_identity(spark, pages, policy, seeds_df,

@@ -1,0 +1,193 @@
+"""Shard-tracked snapshots + O(round delta) frontier commits.
+
+Covers the round-3 scale fixes: partition-scoped overwrites
+(``overwrite_shards``, the Iceberg ``overwritePartitions`` analog),
+path-level shard pruning, per-shard compaction, the proof that a crawl
+round carries untouched pending buckets by reference (zero I/O), and
+the driver job-barrier budget per steady-state round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scrapers_python_spark.plans.engine import CrawlConfig, CrawlEngine
+from web_scrapers_python_spark.sources import datagen as G
+from web_scrapers_python_spark.sources.catalog import SnapshotCatalog
+from web_scrapers_python_spark.sources.seeds import read_seeds
+
+POLICY_SCHEMA = ("host string, crawl_delay double, max_per_round int, "
+                 "robots_disallow array<string>")
+
+
+class TestShardCatalog:
+    def test_shard_overwrite_and_time_travel(self, spark, tmp_path):
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        df = spark.range(100).select(
+            "id", (F.col("id") % 4).cast("int").alias("b"))
+        s0 = cat.write_snapshot("t", df, {"round": 0}, shard_col="b")
+        assert cat.read("t").count() == 100
+        assert cat.read("t").columns == ["id", "b"]  # _pb never surfaces
+
+        delta = spark.createDataFrame([(1000, 1), (1001, 1)],
+                                      "id long, b int")
+        s1 = cat.overwrite_shards("t", delta, [1], "b", {"round": 1},
+                                  base_snapshot_id=s0)
+        t1 = cat.read("t")
+        assert t1.count() == 77 and t1.where("b=1").count() == 2
+        assert cat.read("t", s0).count() == 100   # time travel intact
+        # untouched shards are carried BY REFERENCE (same dirs)
+        p0 = set(cat.shard_paths("t", [0, 2, 3], s0))
+        p1 = set(cat.shard_paths("t", [0, 2, 3], s1))
+        assert p0 == p1
+
+    def test_delta_reads_and_footer_counts(self, spark, tmp_path):
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        df = spark.range(50).select(
+            "id", (F.col("id") % 3).cast("int").alias("b"))
+        s0 = cat.write_snapshot("t", df, shard_col="b")
+        ap = spark.createDataFrame([(7, 0), (8, 2)], "id long, b int")
+        s1 = cat.write_snapshot("t", ap, mode="append",
+                                base_snapshot_id=s0, shard_col="b")
+        assert cat.read_snapshot_delta("t", s1).count() == 2
+        assert cat.snapshot_delta_rowcount("t", s1) == 2
+        assert cat.snapshot_delta_rowcount("t", s1, shards=[0]) == 1
+        assert cat.snapshot_delta_rowcount("t", s1, shards=[2]) == 1
+        assert cat.snapshot_rowcount("t", s1) == 52
+        rows = cat.snapshot_delta_columns_local("t", s1, ["id", "b"])
+        assert sorted((r["id"], r["b"]) for r in rows) == [(7, 0), (8, 2)]
+
+    def test_shard_pruned_reads(self, spark, tmp_path):
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        df = spark.range(60).select(
+            "id", (F.col("id") % 3).cast("int").alias("b"))
+        cat.write_snapshot("t", df, shard_col="b")
+        rs = cat.read_shards("t", [1])
+        assert rs.count() == 20
+        assert rs.select("b").distinct().collect()[0][0] == 1
+        # pruning is at the PATH level, not a filter over a full scan
+        assert len(cat.shard_paths("t", [1])) == 1
+        # shards absent from every dir: empty frame, same schema
+        assert cat.read_shards("t", [99]).count() == 0
+        assert cat.read_shards("t", [99]).columns == ["id", "b"]
+
+    def test_per_shard_compaction(self, spark, tmp_path):
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        df = spark.range(30).select(
+            "id", (F.col("id") % 2).cast("int").alias("b"))
+        s = cat.write_snapshot("t", df, shard_col="b")
+        for i in range(3):
+            ap = spark.createDataFrame([(100 + i, 0)], "id long, b int")
+            s = cat.write_snapshot("t", ap, mode="append",
+                                   base_snapshot_id=s, shard_col="b")
+        assert len([p for p in cat.shard_paths("t", [0]) if "_pb=0" in p]) == 4
+        cat.compact("t", shards=[0])
+        assert len([p for p in cat.shard_paths("t", [0]) if "_pb=0" in p]) == 1
+        t = cat.read("t")
+        assert t.count() == 33 and t.where("b=0").count() == 18
+        assert t.where("b=1").count() == 15   # untouched shard intact
+
+    def test_empty_shard_overwrite_stays_readable(self, spark, tmp_path):
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        df = spark.range(10).select(
+            "id", (F.col("id") % 2).cast("int").alias("b"))
+        cat.write_snapshot("t", df, shard_col="b")
+        empty = spark.createDataFrame([], "id long, b int")
+        cat.overwrite_shards("t", empty, [0, 1], "b")
+        assert cat.read("t").count() == 0
+        assert cat.read("t").columns == ["id", "b"]
+
+    def test_mixed_lineage_guard(self, spark, tmp_path):
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        df = spark.range(10).select(
+            "id", (F.col("id") % 2).cast("int").alias("b"))
+        cat.write_snapshot("t", df)   # unsharded, non-empty
+        delta = spark.createDataFrame([(99, 1)], "id long, b int")
+        with pytest.raises(ValueError, match="unsharded"):
+            cat.overwrite_shards("t", delta, [1], "b")
+
+
+@pytest.fixture(scope="module")
+def crawl_setup(spark, tmp_path_factory):
+    n, h, seed = 400, 16, 7
+    pages = G.generate_pages(spark, n, h, seed).cache()
+    policy = spark.createDataFrame(G.host_policy_rows(seed, h),
+                                   POLICY_SCHEMA)
+    p = tmp_path_factory.mktemp("seeds") / "seeds.txt"
+    p.write_text("\n".join(
+        json.dumps({"url": G.url_of(seed, i, h), "label": "a"})
+        for i in range(64)) + "\n")
+    return pages, policy, str(p)
+
+
+class TestFrontierDeltaCommit:
+    def test_untouched_buckets_carried_by_reference(self, spark, crawl_setup,
+                                                    tmp_path):
+        """The O(round delta) proof: when a round's batch touches a
+        strict subset of host buckets, the frontier commit reuses the
+        untouched buckets' data dirs from the previous snapshot
+        verbatim — their pending rows cost zero write I/O however large
+        the queue grows. Hosts with a zero politeness budget never
+        schedule, so their buckets accumulate pending rows that later
+        rounds must carry, not rewrite."""
+        pages, policy, seeds = crawl_setup
+        n, h, seed = 400, 16, 7
+        rows = []
+        for i, p in enumerate(G.host_policy_rows(seed, h)):
+            p = dict(p)
+            p["max_per_round"] = 0 if i % 2 else 4
+            rows.append(p)
+        half_policy = spark.createDataFrame(rows, POLICY_SCHEMA)
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        eng = CrawlEngine(spark, pages, half_policy, cat, CrawlConfig())
+        ms = eng.run(read_seeds(spark, seeds), max_rounds=4)
+        # budget-0 hosts keep the queue non-empty throughout
+        assert ms[-1]["pending_after"] > 0
+        rounds = [e for e in cat.rounds() if e["round"] >= 1]
+        assert len(rounds) >= 2
+        carried_any = False
+        for prev, cur in zip(rounds, rounds[1:]):
+            p_prev = set(cat._paths_of("frontier",
+                                       prev["snapshots"]["frontier"]))
+            p_cur = set(cat._paths_of("frontier",
+                                      cur["snapshots"]["frontier"]))
+            if p_prev & p_cur:
+                carried_any = True
+        assert carried_any, ("no frontier data dir was ever carried "
+                             "across rounds — commits are full rewrites")
+
+    def test_round_metrics_consistency(self, spark, crawl_setup, tmp_path):
+        """Footer-derived stats must agree with a direct recount of the
+        written state (the old collect-based path)."""
+        pages, policy, seeds = crawl_setup
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        eng = CrawlEngine(spark, pages, policy, cat, CrawlConfig())
+        ms = eng.run(read_seeds(spark, seeds), max_rounds=4)
+        for m in ms:
+            r = m["round"]
+            entry = next(e for e in cat.rounds() if e["round"] == r)
+            arch = cat.read_snapshot_delta(
+                "frontier_archive", entry["snapshots"]["frontier_archive"])
+            assert m["fetched"] == arch.where("state='fetched'").count()
+            assert m["pending_after"] == cat.read(
+                "frontier", entry["snapshots"]["frontier"]).count()
+
+    def test_driver_barrier_budget(self, spark, crawl_setup, tmp_path):
+        """Per-round driver materializations (collect/count barriers)
+        must stay within budget: steady-state rounds pay exactly ONE
+        planning collect; discover rounds at most 4. Everything else is
+        footer arithmetic or a snapshot write."""
+        pages, policy, seeds = crawl_setup
+        cat = SnapshotCatalog(spark, str(tmp_path))
+        eng = CrawlEngine(spark, pages, policy, cat,
+                          CrawlConfig(use_bloom=True))
+        ms = eng.run(read_seeds(spark, seeds), max_rounds=6)
+        assert len(ms) >= 2
+        for m in ms:
+            assert m["_collects"] <= 4, m
+        # the final drain round has no discoveries: 1 planning collect
+        assert ms[-1]["_collects"] == 1, ms[-1]

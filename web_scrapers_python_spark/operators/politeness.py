@@ -50,12 +50,24 @@ def _order_cols(order_by: list) -> list:
 def schedule_per_host(candidates: DataFrame, host_policy: DataFrame,
                       order_by: list | None = None,
                       default_budget: int = DEFAULT_BUDGET,
-                      n_salts: int = 0) -> DataFrame:
+                      n_salts: int = 0,
+                      max_budget: int | None = None) -> DataFrame:
     """Top-budget-per-host selection of this round's fetch batch.
 
     order_by defaults to FIFO (``seq`` asc) for reference parity; the
     priority-frontier mode passes [desc('priority'), 'depth', 'seq']
-    (W1/W2). With n_salts>0 the salted two-stage plan is used."""
+    (W1/W2). With n_salts>0 the salted two-stage plan is used.
+
+    ``max_budget`` (any upper bound on every host's budget — e.g.
+    max(host_policy.max_per_round, default)) is load-bearing at scale:
+    a LITERAL rank cap lets Catalyst insert a *partial* WindowGroupLimit
+    below the exchange, so each map partition forwards at most
+    max_budget rows per host instead of its whole frontier slice. The
+    per-host window then shuffles O(hosts x max_budget) rows, not
+    O(pending) — this is what keeps scheduling cost flat as the pending
+    queue grows (verified in PLANS.md: `WindowGroupLimit ... Partial`
+    above the exchange). The exact per-host column budget still applies
+    after the window, so results are identical for any valid bound."""
     order = _order_cols(order_by or ["seq"])
     budgeted = candidates.join(
         F.broadcast(host_policy.select("host", "max_per_round")), "host", "left"
@@ -63,17 +75,23 @@ def schedule_per_host(candidates: DataFrame, host_policy: DataFrame,
         "_budget", F.coalesce(F.col("max_per_round"), F.lit(default_budget))
     ).drop("max_per_round")
 
+    def cap(rank_col: Column) -> Column:
+        exact = rank_col <= F.col("_budget")
+        if max_budget is not None:
+            return (rank_col <= F.lit(int(max_budget))) & exact
+        return exact
+
     if n_salts > 0:
         salt = F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts))
         stage1 = Window.partitionBy(F.col("host"), salt).orderBy(*order)
         budgeted = (
             budgeted.withColumn("_rn1", F.row_number().over(stage1))
-            .where(F.col("_rn1") <= F.col("_budget"))
+            .where(cap(F.col("_rn1")))
             .drop("_rn1")
         )
     w = Window.partitionBy("host").orderBy(*order)
     return (
         budgeted.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= F.col("_budget"))
+        .where(cap(F.col("_rn")))
         .drop("_rn", "_budget")
     )

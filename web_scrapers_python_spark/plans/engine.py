@@ -13,7 +13,8 @@ Per round r (all declarative; Catalyst/AQE pick physical strategies):
       → parse: parser dispatch (F9/P3) → pandas-UDF parsers (P1)
                → AI analysis stage (P4/P5)
       → writes: articles append, seen EVENT append (J3), pending
-                frontier overwrite + terminal-row archive append,
+                frontier SHARD-SCOPED overwrite (touched host buckets
+                only) + terminal-row archive append (sharded by state),
                 round_metrics (A1/A4) → atomic round commit (E5)
 
 State layout is O(delta)-per-round by construction:
@@ -24,15 +25,20 @@ State layout is O(delta)-per-round by construction:
   reference's MERGE-upserted seen table (cassandra_manager.py:317-329),
   and a periodic compaction snapshot (every ``compact_seen_every``
   rounds) bounds log depth. No per-round O(|seen|) rewrite.
-- ``frontier`` holds ONLY pending rows (the live queue — the set every
-  scheduler pass must scan anyway); rows reaching a terminal state
+- ``frontier`` holds ONLY pending rows (the live queue), physically
+  sharded by ``host_bucket``. A round rewrites ONLY the buckets it
+  touched (scheduled, blocked, recrawled, or receiving discoveries) —
+  every other bucket's data dir is carried forward by reference, so
+  the commit is O(round delta) even when pending is budget-starved and
+  orders of magnitude larger than a round's batch. Terminal rows
   (fetched / failed / robots_blocked) move to the append-only
-  ``frontier_archive``. The per-round overwrite is O(pending), the
-  archive append O(round delta).
+  ``frontier_archive``, sharded by state so per-state round stats are
+  parquet-footer reads, not jobs.
 
 On Iceberg these map to: seen = append snapshots + a MERGE-on-read
-view + rewrite_data_files compaction; frontier/archive = overwrite +
-append snapshots.
+view + partition-filtered rewrite_data_files compaction (rotating
+bucket groups); frontier = overwritePartitions; archive = append
+snapshots on a state-partitioned table.
 
 The reference's orchestrator (orchestrator.py:419-497) collapses into
 ``run``'s while-loop; K8s job retries (375-405) become the
@@ -123,9 +129,14 @@ class CrawlConfig:
     # driver eagerly collects+ships one exchange per phase branch), so
     # the default gate is deliberately modest.
     fetch_broadcast_rows: int = 100_000
-    # every k rounds the seen event log is compacted to its merged view
-    # (Iceberg rewrite_data_files); amortized write cost O(seen/k).
+    # every k rounds ONE GROUP of seen host buckets (bucket % groups ==
+    # rotation) is compacted to its merged view via a shard-scoped
+    # overwrite (Iceberg rewrite_data_files with a partition filter).
+    # Rotating groups bounds log depth per bucket at groups*k rounds
+    # while each compaction event costs O(seen/groups) — no full-table
+    # stall, ever. seen_compact_groups=1 restores whole-table behavior.
     compact_seen_every: int = 16
+    seen_compact_groups: int = 4
     # refresh crawls: re-enqueue URLs fetched exactly `recrawl_ttl`
     # rounds ago. Each round re-enqueues ONE cohort — the archive delta
     # of round r-ttl — so the cost is O(that round's fetches), never a
@@ -150,6 +161,21 @@ class CrawlEngine:
         self.host_policy = host_policy
         self.catalog = catalog
         self.cfg = config or CrawlConfig()
+        self._budget_cap_memo: int | None = None
+        # driver-side materializations (collect/count) in the last
+        # run_round call — the job-barrier budget tests assert on this
+        self.last_round_collects = 0
+
+    def _budget_cap(self) -> int:
+        """A literal upper bound on every host's politeness budget —
+        unlocks the partial WindowGroupLimit in schedule_per_host.
+        Computed once per engine lifetime (host_policy is static)."""
+        if self._budget_cap_memo is None:
+            row = self.host_policy.agg(
+                F.max("max_per_round")).collect()[0][0]
+            self._budget_cap_memo = max(int(row or 0),
+                                        self.cfg.default_budget)
+        return self._budget_cap_memo
 
     # -- bootstrap -----------------------------------------------------------
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -168,7 +194,13 @@ class CrawlEngine:
         f = D.first_wins(f, "url_hash", "seq")
         # seq is dense 0..n-1 after first-wins? No — first-wins keeps the
         # original file-order seq, so max_seq must be measured, once.
-        fs = self.catalog.write_snapshot("frontier", f, {"round": -1})
+        # frontier/archive/seen are shard-tracked from birth: pending by
+        # host_bucket (round commits rewrite only touched buckets),
+        # archive by terminal state (per-state round stats come from
+        # parquet footers, no job), seen by host_bucket (rotating
+        # per-group compaction).
+        fs = self.catalog.write_snapshot("frontier", f, {"round": -1},
+                                         shard_col="host_bucket")
         written = self.catalog.read("frontier")
         max_seq = written.agg(F.max("seq")).collect()[0][0] or 0
         # record max_seq in the snapshot properties so rounds never
@@ -178,7 +210,7 @@ class CrawlEngine:
         self.catalog.set_snapshot_properties("frontier", fs, props)
         empty_archive = self.spark.createDataFrame([], written.schema)
         ars = self.catalog.write_snapshot("frontier_archive", empty_archive,
-                                          {"round": -1})
+                                          {"round": -1}, shard_col="state")
         # derive seen insert events from the *written* frontier snapshot —
         # the seeds decode/identity/dedup chain runs once, not once per
         # write
@@ -187,7 +219,8 @@ class CrawlEngine:
             F.lit(0).alias("first_round"), F.lit(0).alias("last_round"),
             F.lit(0).alias("scrape_count"), F.lit("pending").alias("status"),
         )
-        ss = self.catalog.write_snapshot("seen", seen, {"round": -1})
+        ss = self.catalog.write_snapshot("seen", seen, {"round": -1},
+                                         shard_col="host_bucket")
         self.catalog.commit_round(-1, {"frontier": fs,
                                        "frontier_archive": ars, "seen": ss})
 
@@ -204,6 +237,13 @@ class CrawlEngine:
             _t0 = now
 
         cfg = self.cfg
+        self.last_round_collects = 0
+        # the set of host buckets this round touches: scheduled rows,
+        # robots-blocked rows, recrawl cohorts, and fresh discoveries
+        # all name their buckets — the frontier commit rewrites ONLY
+        # these shards (O(round delta)); every other bucket's data dir
+        # is carried forward by reference.
+        touched_buckets: set[int] = set()
         # E5: read EVERY state table at the last complete round's
         # recorded snapshot ids — never the current pointers, which a
         # torn (crashed mid-round) commit can leave mutually
@@ -245,7 +285,12 @@ class CrawlEngine:
                     .select(*FRONTIER_COLS)
                 ).cache()
                 recrawl_cohort = cohort
-                n_recrawl = cohort.count()
+                crow = cohort.agg(
+                    F.count("*").alias("n"),
+                    F.collect_set("host_bucket").alias("bk")).collect()[0]
+                self.last_round_collects += 1
+                n_recrawl = int(crow["n"])
+                touched_buckets |= {int(b) for b in crow["bk"]}
                 if n_recrawl:
                     frontier = frontier.unionByName(cohort)
 
@@ -258,6 +303,7 @@ class CrawlEngine:
         scheduled = W.schedule_per_host(
             allowed, self.host_policy, cfg.order_by(),
             cfg.default_budget, cfg.n_salts,
+            max_budget=self._budget_cap(),
         ).select(*FRONTIER_COLS).cache()
 
         # J4: pages ⋈ scheduled inner, split per phase BEFORE the join
@@ -272,15 +318,30 @@ class CrawlEngine:
         sched_parse = scheduled.where(is_parse)
         sched_discover = scheduled.where(is_discover)
 
-        # one cheap job over the cached batch yields the broadcast-gate
-        # size AND the per-phase row counts (so empty phases skip their
-        # whole plan below)
-        label_counts = {
-            row["k"]: row["n"] for row in scheduled.groupBy(
+        # THE round-planning job — one collect yields the broadcast-gate
+        # size, the per-phase row counts (so empty phases skip their
+        # whole plan below), the robots-blocked count, AND the touched
+        # host-bucket sets of both frames. Folding all of it into one
+        # job matters on real executors, where each driver job barrier
+        # costs ~0.3-1 s of RPC fixed cost on short rounds.
+        plan_rows = (
+            scheduled.select(
                 F.when(is_parse, "parse").when(is_discover, "discover")
-                .otherwise("none").alias("k"))
-            .agg(F.count("*").alias("n")).collect()
-        }
+                .otherwise("none").alias("k"), "host_bucket")
+            .unionByName(
+                blocked.select(F.lit("blocked").alias("k"), "host_bucket"))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"),
+                 F.collect_set("host_bucket").alias("bk"))
+            .collect()
+        )
+        self.last_round_collects += 1
+        label_counts = {row["k"]: row["n"] for row in plan_rows
+                        if row["k"] != "blocked"}
+        n_blocked = sum(row["n"] for row in plan_rows
+                        if row["k"] == "blocked")
+        for row in plan_rows:
+            touched_buckets |= {int(b) for b in row["bk"]}
         n_scheduled_rows = sum(label_counts.values())
         has_discover = label_counts.get("discover", 0) > 0
         _bcast = (F.broadcast if n_scheduled_rows <= cfg.fetch_broadcast_rows
@@ -385,13 +446,38 @@ class CrawlEngine:
             fresh_frontier = self.spark.createDataFrame([], frontier.schema)
             n_fresh = 0
 
-        # frontier state transitions over the PENDING set only
+        # links_discovered count + fresh buckets in one agg over the
+        # cached children (collect_set partial-aggregates map-side, so
+        # only <= n_buckets values shuffle). Fresh rows can land in ANY
+        # bucket; their buckets join the touched set so the frontier
+        # commit below includes them.
+        if children is not None:
+            crow = children.agg(
+                F.count("*").alias("n"),
+                F.collect_set("host_bucket").alias("bk")).collect()[0]
+            self.last_round_collects += 1
+            n_children = int(crow["n"])
+            child_buckets = {int(b) for b in crow["bk"]}
+            touched_buckets |= child_buckets
+        else:
+            n_children, child_buckets = 0, set()
+
+        # frontier state transitions, computed over the TOUCHED buckets
+        # only: every row that can change state (scheduled, blocked,
+        # recrawl) is in a touched bucket by construction, and untouched
+        # buckets' pending rows are carried forward by reference in the
+        # shard-scoped commit — never rescanned, never rewritten. The
+        # host_bucket IN (...) predicate prunes the pending scan to the
+        # touched shards' files (each file holds one bucket).
+        touched_list = sorted(touched_buckets)
+        fr_touched = frontier.where(
+            F.col("host_bucket").isin(touched_list))
         fetched_keys = fetched.select("url_hash").withColumn("_new", F.lit("fetched"))
         missing_keys = missing.select("url_hash").withColumn("_new", F.lit("fetch_failed"))
         blocked_keys = blocked.select("url_hash").withColumn("_new", F.lit("robots_blocked"))
         transitions = fetched_keys.unionByName(missing_keys).unionByName(blocked_keys)
         trans = (
-            frontier.join(transitions, "url_hash", "left")
+            fr_touched.join(transitions, "url_hash", "left")
             .withColumn(
                 "retry_count",
                 F.when(F.col("_new") == "fetch_failed",
@@ -407,8 +493,9 @@ class CrawlEngine:
             )
             .select(*FRONTIER_COLS, "_new")
         ).cache()
-        new_pending = trans.where(F.col("state") == "pending") \
-                           .select(*FRONTIER_COLS).unionByName(fresh_frontier)
+        new_pending_delta = trans.where(F.col("state") == "pending") \
+                                 .select(*FRONTIER_COLS) \
+                                 .unionByName(fresh_frontier)
         archive_delta = trans.where(F.col("state") != "pending") \
                              .select(*FRONTIER_COLS)
 
@@ -452,7 +539,6 @@ class CrawlEngine:
             "articles", articles, {"round": r}, mode="append",
             base_snapshot_id=bs.get("articles", -1))
         _mark("t_write_articles")
-        new_filters = None
 
         def w_weibo():
             snaps["weibo_posts"] = self.catalog.write_snapshot(
@@ -499,84 +585,121 @@ class CrawlEngine:
                 base_snapshot_id=bs.get("content_history", -1))
 
         def w_frontier():
-            snaps["frontier"] = self.catalog.write_snapshot(
-                "frontier", new_pending,
-                {"round": r, "max_seq": int(max_seq) + n_fresh})
+            # THE O(round delta) commit: only the touched buckets'
+            # pending rows are rewritten; every other bucket's data dir
+            # is carried by reference (Iceberg overwritePartitions).
+            # The archive append is sharded by terminal state so the
+            # per-state round stats below read from parquet footers.
+            snaps["frontier"] = self.catalog.overwrite_shards(
+                "frontier",
+                new_pending_delta.where(
+                    F.col("host_bucket").isin(touched_list)),
+                touched_list, "host_bucket",
+                {"round": r, "max_seq": int(max_seq) + n_fresh},
+                base_snapshot_id=bs["frontier"])
             snaps["frontier_archive"] = self.catalog.write_snapshot(
                 "frontier_archive", archive_delta, {"round": r},
-                mode="append",
+                mode="append", shard_col="state",
                 base_snapshot_id=bs.get("frontier_archive", -1))
 
         def w_seen():
-            nonlocal new_filters
             snaps["seen"] = self.catalog.write_snapshot(
                 "seen", seen_delta, {"round": r}, mode="append",
+                shard_col="host_bucket",
                 base_snapshot_id=bs.get("seen", -1))
             if cfg.compact_seen_every and \
                     (r + 1) % cfg.compact_seen_every == 0:
-                compacted = merged_seen(
-                    self.catalog.read("seen", snaps["seen"]))
-                snaps["seen"] = self.catalog.write_snapshot(
-                    "seen", compacted, {"round": r, "compacted": True})
+                # rotating per-group compaction: merge ONE bucket
+                # group's event dirs into its merged view and swap only
+                # those shards — O(seen/groups) per event, never a
+                # full-table stall. Merged rows are themselves valid
+                # events (min/max/sum re-merge associatively), so a
+                # group's view stays correct across future appends.
+                groups = max(1, cfg.seen_compact_groups)
+                g = ((r + 1) // cfg.compact_seen_every - 1) % groups
+                group = [b for b in range(cfg.n_buckets)
+                         if b % groups == g]
+                compacted = merged_seen(self.catalog.read_shards(
+                    "seen", group, snaps["seen"]))
+                snaps["seen"] = self.catalog.overwrite_shards(
+                    "seen", compacted, group, "host_bucket",
+                    {"round": r, "compacted_group": g},
+                    base_snapshot_id=snaps["seen"])
             if cfg.use_bloom and not has_discover:
                 # no inserts this round: the base filter snapshot is
                 # still exact for the new seen log — re-commit its id
                 if "seen_filters" in bs:
                     snaps["seen_filters"] = bs["seen_filters"]
             elif cfg.use_bloom:
+                # incremental filter maintenance is shard-scoped too:
+                # only buckets receiving inserts re-merge (cogrouped
+                # applyInPandas over O(delta) keys) and only their
+                # shards are rewritten. Degraded buckets (n_bits=0
+                # sentinel) are detected from the written delta's
+                # narrow health columns via a driver-side pyarrow read
+                # — no extra Spark job barrier.
+                # with a prior filter snapshot, only the touched
+                # buckets' filters enter the merge and only their
+                # shards are rewritten; a fresh full build (no prior
+                # snapshot) writes every bucket on a fresh lineage.
+                if "seen_filters" in bs:
+                    merge_in = filters.where(
+                        F.col("host_bucket").isin(sorted(child_buckets)))
+                else:
+                    merge_in = filters
                 new_filters = D.merge_bloom_filters(
-                    filters,
+                    merge_in,
                     insert_events.select("host_bucket", "url_hash"),
-                    capacity=cfg.bloom_capacity).cache()
-                degraded = new_filters.where(F.col("n_bits") == 0) \
-                    .select("host_bucket", "n_items").collect()
+                    capacity=cfg.bloom_capacity)
+                fid = self.catalog.overwrite_shards(
+                    "seen_filters", new_filters, sorted(child_buckets),
+                    "host_bucket",
+                    {"round": r, "for_seen_snapshot": snaps["seen"]},
+                    base_snapshot_id=bs.get("seen_filters", -1))
+                health = self.catalog.snapshot_delta_columns_local(
+                    "seen_filters", fid,
+                    ["host_bucket", "n_bits", "n_items"])
+                degraded = [h for h in health if int(h["n_bits"]) == 0]
                 if degraded:
-                    ids = [int(row["host_bucket"]) for row in degraded]
+                    ids = sorted(int(h["host_bucket"]) for h in degraded)
                     cap = max(cfg.bloom_capacity,
-                              2 * max(int(row["n_items"])
-                                      for row in degraded))
+                              2 * max(int(h["n_items"]) for h in degraded))
                     rebuilt = D.build_bloom_filters(
-                        self.catalog.read("seen", snaps["seen"])
-                        .where(F.col("host_bucket").isin(ids))
+                        self.catalog.read_shards("seen", ids, snaps["seen"])
                         .select("host_bucket", "url_hash").distinct(),
                         capacity=cap)
-                    new_filters = new_filters.where(
-                        ~F.col("host_bucket").isin(ids)) \
-                        .unionByName(rebuilt)
-                snaps["seen_filters"] = self.catalog.write_snapshot(
-                    "seen_filters", new_filters,
-                    {"round": r, "for_seen_snapshot": snaps["seen"]})
-
-        st = []
-
-        def w_stats():
-            st.extend(trans.groupBy("_new", "state")
-                      .agg(F.count("*").alias("n")).collect())
+                    fid = self.catalog.overwrite_shards(
+                        "seen_filters", rebuilt, ids, "host_bucket",
+                        {"round": r, "for_seen_snapshot": snaps["seen"],
+                         "rebuilt_buckets": ids},
+                        base_snapshot_id=fid)
+                snaps["seen_filters"] = fid
 
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=6) as pool:
             futs = [pool.submit(f) for f in
                     (w_weibo, w_quarantine, w_history, w_frontier,
-                     w_seen, w_stats)]
+                     w_seen)]
             for f in futs:
                 f.result()          # propagate the first failure
         _mark("t_write_parallel")
 
-        # A1/A4 metrics — every input is either an already-cached
-        # round-delta DataFrame or a parquet-footer count of this
-        # round's newly written files; nothing rescans a cumulative
-        # table, so metric cost stays flat as the crawl ages.
-        n_fetched = sum(x["n"] for x in st if x["_new"] == "fetched")
-        n_blocked = sum(x["n"] for x in st if x["_new"] == "robots_blocked")
-        n_sched = n_fetched + sum(x["n"] for x in st
-                                  if x["_new"] == "fetch_failed")
-        pending_after = sum(x["n"] for x in st
-                            if x["state"] == "pending") + n_fresh
+        # A1/A4 metrics — every count is either a byproduct of the one
+        # round-planning collect or a parquet-footer read of this
+        # round's newly written files (driver-side, no Spark job, no
+        # barrier); nothing rescans a cumulative table, so metric cost
+        # stays flat as the crawl ages. The state-sharded archive gives
+        # per-state counts straight from its leaf dirs.
+        n_fetched = self.catalog.snapshot_delta_rowcount(
+            "frontier_archive", snaps["frontier_archive"],
+            shards=["fetched"])
+        n_sched = n_scheduled_rows
+        pending_after = self.catalog.snapshot_rowcount(
+            "frontier", snaps["frontier"])
         n_articles = self.catalog.snapshot_delta_rowcount(
             "articles", snaps["articles"])
         n_errors = self.catalog.snapshot_delta_rowcount(
             "quarantine", snaps["quarantine"])
-        n_children = children.count() if children is not None else 0
         metrics = {
             "round": r,
             "scheduled": n_sched,
@@ -604,10 +727,9 @@ class CrawlEngine:
                    trans, deduped, recrawl_cohort):
             if df is not None:
                 df.unpersist()
-        if cfg.use_bloom and has_discover:
-            new_filters.unpersist()
         _mark("t_metrics")
         metrics["_timings"] = _tm
+        metrics["_collects"] = self.last_round_collects
         return metrics
 
     # -- loop -------------------------------------------------------------------
