@@ -260,6 +260,47 @@ class TestMultimodal:
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, NotImplementedError)
 
+    def test_real_media_end_to_end(self, spark):
+        """synthesize_real_media -> extract/resize/frame_sample with
+        decode_stub=False: every payload is really encoded and decoded
+        by the numpy codecs; features match the local closed form."""
+        import numpy as np
+        from web_scrapers_python_spark.functions import codecs as C
+        ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+        media = MM.synthesize_real_media(ids, "doc_id")
+        feats = {r["media_id"]: r for r in
+                 MM.extract_features(media, decode_stub=False).collect()}
+        assert len(feats) == 12
+        for i in range(12):
+            mime, payload, _ = C.synth_payload(i)
+            want = MM._decode_features(mime, payload, decode_stub=False)
+            assert feats[i]["kind"] == C.synth_kind(i)
+            assert feats[i]["n_bytes"] == len(payload)
+            assert [int(x) for x in feats[i]["feature"]] == \
+                   [int(x) for x in want]
+        # real resize: decoded output of the resized payload is the
+        # numpy-resized source image, bit for bit
+        img_media = media.where(F.col("kind") == "image")
+        rows = MM.resize_images(img_media, 8, 8,
+                                decode_stub=False).collect()
+        for r in rows:
+            src = C.synth_image(int(r["media_id"]))
+            got = C.decode_bmp(bytes(r["payload"]))
+            assert np.array_equal(got, C.resize_nearest(src, 8, 8))
+            assert r["meta"]["width"] == 8 and r["meta"]["height"] == 8
+        # real frame sampling: container splits into per-frame BMPs
+        vid = media.where(F.col("kind") == "video")
+        frames = MM.frame_sample(vid, decode_stub=False).collect()
+        by_id: dict = {}
+        for fr in frames:
+            by_id.setdefault(fr["media_id"], []).append(fr)
+        for i, frs in by_id.items():
+            assert len(frs) == C.synth_video_frames(int(i))
+            for fr in sorted(frs, key=lambda x: x["frame_idx"]):
+                want_img = C.synth_image(int(i), fr["frame_idx"])
+                assert np.array_equal(
+                    C.decode_bmp(bytes(fr["frame"])), want_img)
+
     def test_frame_sample_rows(self, spark):
         df = spark.createDataFrame([(1, "abcdefghij" * 30)],
                                    "doc_id long, text string")
