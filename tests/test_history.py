@@ -240,6 +240,25 @@ class TestRecrawlTTL:
         from web_scrapers_python_spark.plans.engine import merged_seen
         sc = merged_seen(cat.read("seen")).where(F.col("scrape_count") >= 2)
         assert sc.count() == ms[2]["fetched"] + ms[3]["fetched"]
+        # status ladder (url_tracker parity): a PARSE-labeled re-store
+        # whose content hash matched the stored version is marked
+        # 'duplicate' (cassandra_manager.py:454-464) — exactly the
+        # round-3 re-stored articles; everything else fetched stays
+        # 'scraped'
+        st = {r["url"]: r["status"] for r in
+              merged_seen(cat.read("seen"))
+              .select("url", "status").collect()}
+        dup_urls = {r["url_hash"] for r in
+                    cat.read("content_history")
+                    .where(F.col("change_type") == "duplicate")
+                    .select("url_hash").collect()}
+        by_hash = {r["url_hash"]: r["status"] for r in
+                   merged_seen(cat.read("seen"))
+                   .select("url_hash", "status").collect()}
+        assert dup_urls, "re-crawl produced no duplicate stores"
+        assert all(by_hash[h] == "duplicate" for h in dup_urls)
+        assert sum(1 for s in st.values() if s == "duplicate") == \
+            len(dup_urls)
 
         # now the site changes: same warehouse, page BODIES mutated
         # (word swap inside extracted content; hrefs/urls untouched)
@@ -263,3 +282,15 @@ class TestRecrawlTTL:
         latest = HY.latest_content_versions(cat.read("content_history"))
         assert latest.where(F.col("change_type") == "updated").count() \
             == n_upd
+        # ladder latest-write-wins: a LATER changed-content store
+        # overwrites a 'duplicate' status back to 'scraped', exactly as
+        # the reference's tracker row is overwritten on each store;
+        # urls whose latest store was again a duplicate stay duplicate
+        from web_scrapers_python_spark.plans.engine import merged_seen
+        st2 = {r["url_hash"]: r["status"] for r in
+               merged_seen(cat.read("seen"))
+               .select("url_hash", "status").collect()}
+        lat = {r["url_hash"]: r["change_type"] for r in latest.collect()}
+        for h, ct in lat.items():
+            assert st2[h] == ("duplicate" if ct == "duplicate"
+                              else "scraped"), (h, ct)

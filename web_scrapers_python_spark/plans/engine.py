@@ -68,18 +68,39 @@ FRONTIER_COLS = [
 
 SEEN_SCHEMA = ("url_hash string, url string, host_bucket int, "
                "first_round int, last_round int, scrape_count int, "
-               "status string")
+               "last_scrape_round int, last_dup_round int, "
+               "last_fail_round int, status string")
 SEEN_COLS = ["url_hash", "url", "host_bucket", "first_round",
-             "last_round", "scrape_count", "status"]
+             "last_round", "scrape_count", "last_scrape_round",
+             "last_dup_round", "last_fail_round", "status"]
 
 
 def merged_seen(events: DataFrame) -> DataFrame:
     """Latest-state view over the seen event log — exactly the
-    reference's upserted seen table (J3). Insert events carry
+    reference's upserted url_tracker (J3). Insert events carry
     (first_round=last_round=enqueue round, scrape_count=0); fetch
     events carry (first_round=NULL, last_round=fetch round,
-    scrape_count=1). min/max/sum are associative + idempotent over
-    disjoint event sets, so compaction snapshots re-merge correctly."""
+    scrape_count=1, last_scrape_round=round); duplicate-detection
+    events carry last_dup_round (cassandra_manager.py:454-464 sets
+    status='duplicate' when a re-scrape matches the stored content
+    hash); terminal fetch failures carry last_fail_round. min/max/sum
+    are associative + idempotent over disjoint event sets, so
+    compaction snapshots re-merge correctly.
+
+    ``status`` reproduces the reference's one-column latest-write-wins
+    ladder (url_tracker DDL cassandra_manager.py:143-153: 'pending',
+    'processed'→'scraped' here, 'failed', plus 'duplicate'): the
+    highest-round terminal event names the status, a duplicate beats
+    the scrape it accompanied (same round — the reference writes
+    'processed' then overwrites with 'duplicate'), and a LATER
+    changed-content scrape flips a duplicate back to scraped exactly
+    as a new store overwrites the tracker row."""
+    lsr = F.max("last_scrape_round").alias("last_scrape_round")
+    ldr = F.max("last_dup_round").alias("last_dup_round")
+    lfr = F.max("last_fail_round").alias("last_fail_round")
+    c_lsr = F.coalesce(F.col("last_scrape_round"), F.lit(-1))
+    c_ldr = F.coalesce(F.col("last_dup_round"), F.lit(-1))
+    c_lfr = F.coalesce(F.col("last_fail_round"), F.lit(-1))
     return (
         events.groupBy("url_hash").agg(
             F.max("url").alias("url"),
@@ -87,10 +108,15 @@ def merged_seen(events: DataFrame) -> DataFrame:
             F.min("first_round").alias("first_round"),
             F.max("last_round").alias("last_round"),
             F.sum("scrape_count").cast("int").alias("scrape_count"),
+            lsr, ldr, lfr,
         )
-        .withColumn("status", F.when(F.col("scrape_count") > 0,
-                                     F.lit("scraped"))
-                    .otherwise(F.lit("pending")))
+        .withColumn(
+            "status",
+            F.when((c_lfr >= 0) & (c_lfr > c_lsr) & (c_lfr > c_ldr),
+                   F.lit("failed"))
+            .when((c_ldr >= 0) & (c_ldr >= c_lsr), F.lit("duplicate"))
+            .when(F.col("scrape_count") > 0, F.lit("scraped"))
+            .otherwise(F.lit("pending")))
         .select(*SEEN_COLS)
     )
 
@@ -217,7 +243,11 @@ class CrawlEngine:
         seen = written.select(
             "url_hash", "url", "host_bucket",
             F.lit(0).alias("first_round"), F.lit(0).alias("last_round"),
-            F.lit(0).alias("scrape_count"), F.lit("pending").alias("status"),
+            F.lit(0).alias("scrape_count"),
+            F.lit(None).cast("int").alias("last_scrape_round"),
+            F.lit(None).cast("int").alias("last_dup_round"),
+            F.lit(None).cast("int").alias("last_fail_round"),
+            F.lit("pending").alias("status"),
         )
         ss = self.catalog.write_snapshot("seen", seen, {"round": -1},
                                          shard_col="host_bucket")
@@ -500,15 +530,22 @@ class CrawlEngine:
                              .select(*FRONTIER_COLS)
 
         # J3 as events: one fetch event per fetched URL (the MERGE
-        # update), one insert event per fresh child (the MERGE insert).
+        # update), one insert event per fresh child (the MERGE insert),
+        # one fail event per retry-exhausted URL, and one duplicate
+        # event per re-store whose content hash matched (added in
+        # w_seen below, after the history delta that detects it).
         # O(round delta) rows — the full seen table is never rewritten.
+        _null_i = F.lit(None).cast("int")
         fetch_events = (
             scheduled.join(fetched, "url_hash")
             .select(
                 "url_hash", "url", "host_bucket",
-                F.lit(None).cast("int").alias("first_round"),
+                _null_i.alias("first_round"),
                 F.lit(r).alias("last_round"),
                 F.lit(1).alias("scrape_count"),
+                F.lit(r).alias("last_scrape_round"),
+                _null_i.alias("last_dup_round"),
+                _null_i.alias("last_fail_round"),
                 F.lit("scraped").alias("status"),
             )
         )
@@ -516,9 +553,26 @@ class CrawlEngine:
             "url_hash", "url", "host_bucket",
             F.lit(r + 1).alias("first_round"),
             F.lit(r + 1).alias("last_round"),
-            F.lit(0).alias("scrape_count"), F.lit("pending").alias("status"),
+            F.lit(0).alias("scrape_count"),
+            _null_i.alias("last_scrape_round"),
+            _null_i.alias("last_dup_round"),
+            _null_i.alias("last_fail_round"),
+            F.lit("pending").alias("status"),
         )
-        seen_delta = fetch_events.unionByName(insert_events)
+        # retry-exhausted rows become terminal 'failed' in the tracker
+        # (url_tracker DDL status 'failed', cassandra_manager.py:151)
+        fail_events = trans.where(F.col("state") == "failed").select(
+            "url_hash", "url", "host_bucket",
+            _null_i.alias("first_round"),
+            F.lit(r).alias("last_round"),
+            F.lit(0).alias("scrape_count"),
+            _null_i.alias("last_scrape_round"),
+            _null_i.alias("last_dup_round"),
+            F.lit(r).alias("last_fail_round"),
+            F.lit("failed").alias("status"),
+        )
+        seen_delta = fetch_events.unionByName(insert_events) \
+                                 .unionByName(fail_events)
 
         # commits (each write is one snapshot; the round tag makes the
         # group atomic-at-resume — E5). Appends pin their base snapshot
@@ -603,8 +657,30 @@ class CrawlEngine:
                 base_snapshot_id=bs.get("frontier_archive", -1))
 
         def w_seen():
+            # duplicate-tracking events (cassandra_manager.py:454-464):
+            # this round's stored articles whose content hash matched
+            # the latest prior version. Detected by the history delta
+            # just written (w_seen runs after w_history on one thread);
+            # url/host_bucket come from the cached scheduled batch —
+            # O(round delta) keys, no history rescan.
+            dup_keys = (
+                self.catalog.read_snapshot_delta(
+                    "content_history", snaps["content_history"])
+                .where(F.col("change_type") == "duplicate")
+                .select("url_hash"))
+            dup_events = scheduled.join(dup_keys, "url_hash").select(
+                "url_hash", "url", "host_bucket",
+                _null_i.alias("first_round"),
+                F.lit(r).alias("last_round"),
+                F.lit(0).alias("scrape_count"),
+                _null_i.alias("last_scrape_round"),
+                F.lit(r).alias("last_dup_round"),
+                _null_i.alias("last_fail_round"),
+                F.lit("duplicate").alias("status"),
+            )
             snaps["seen"] = self.catalog.write_snapshot(
-                "seen", seen_delta, {"round": r}, mode="append",
+                "seen", seen_delta.unionByName(dup_events),
+                {"round": r}, mode="append",
                 shard_col="host_bucket",
                 base_snapshot_id=bs.get("seen", -1))
             if cfg.compact_seen_every and \
@@ -675,11 +751,18 @@ class CrawlEngine:
                         base_snapshot_id=fid)
                 snaps["seen_filters"] = fid
 
+        def w_history_then_seen():
+            # seen's duplicate events derive from the history delta, so
+            # these two writes are sequenced on one thread; the other
+            # tables still overlap them.
+            w_history()
+            w_seen()
+
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=6) as pool:
             futs = [pool.submit(f) for f in
-                    (w_weibo, w_quarantine, w_history, w_frontier,
-                     w_seen)]
+                    (w_weibo, w_quarantine, w_frontier,
+                     w_history_then_seen)]
             for f in futs:
                 f.result()          # propagate the first failure
         _mark("t_write_parallel")
