@@ -219,6 +219,9 @@ def run_state_probe(spark) -> dict:
                 .alias("host_bucket"),
                 F.lit(0).alias("first_round"), F.lit(0).alias("last_round"),
                 F.lit(0).alias("scrape_count"),
+                F.lit(None).cast("int").alias("last_scrape_round"),
+                F.lit(None).cast("int").alias("last_dup_round"),
+                F.lit(None).cast("int").alias("last_fail_round"),
                 F.lit("pending").alias("status"))
             base = cat.last_complete_round()["snapshots"]
             ss = cat.write_snapshot("seen", synth, {"round": -1},
@@ -319,6 +322,9 @@ def run_pending_probe(spark) -> dict:
                 "url_hash", "url", "host_bucket",
                 F.lit(0).alias("first_round"), F.lit(0).alias("last_round"),
                 F.lit(0).alias("scrape_count"),
+                F.lit(None).cast("int").alias("last_scrape_round"),
+                F.lit(None).cast("int").alias("last_dup_round"),
+                F.lit(None).cast("int").alias("last_fail_round"),
                 F.lit("pending").alias("status"))
             ss = cat.write_snapshot("seen", seen_ev, {"round": -1},
                                     mode="append", shard_col="host_bucket",

@@ -176,6 +176,11 @@ def main() -> None:
     ap.add_argument("--run-level", type=int, default=None,
                     help="internal: run one level in this process")
     ap.add_argument("--pages", default=None)
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="run each level N times (interleaved A,B,A,B,…"
+                         " to decorrelate machine drift) and report the"
+                         " per-level MEDIAN rate — this box has ±30%% "
+                         "run-to-run spread, single runs are unreadable")
     args = ap.parse_args()
     cfg = SMALL if args.small else FULL
     workdir = args.workdir or tempfile.mkdtemp(prefix="scaling-bench-")
@@ -194,44 +199,64 @@ def main() -> None:
     pages_path = gen_corpus(workdir, cfg)
     gen_sec = round(time.time() - t0, 1)
 
+    import statistics
     import subprocess
+    runs: dict[int, list] = {c: [] for c in levels}
+    first = True
+    for rep in range(max(1, args.repeats)):
+        for cpus in levels:
+            if not first:
+                os.sync()
+                time.sleep(15)   # let the previous JVM's I/O settle
+            first = False
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--run-level", str(cpus), "--pages", pages_path,
+                   "--workdir", workdir] \
+                + (["--small"] if args.small else []) \
+                + (["--executors"] if args.executors else [])
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  cwd=os.path.dirname(os.path.dirname(
+                                      os.path.abspath(__file__))))
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("RESULT ")]
+            if not line:
+                print(proc.stdout[-2000:], file=sys.stderr)
+                print(proc.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"level {cpus} failed")
+            runs[cpus].append(json.loads(line[-1][len("RESULT "):]))
+            lbl = (f"local-cluster[{max(1, cpus // 2)}x2cores]"
+                   if args.executors else f"local[{cpus}]")
+            print(f"LEVEL {lbl} rep {rep}: "
+                  f"{runs[cpus][-1]['urls_per_sec']} urls/s "
+                  f"({runs[cpus][-1]['sec']}s)", file=sys.stderr)
+
+    def median_rate(cpus: int) -> float:
+        return statistics.median(r["urls_per_sec"] for r in runs[cpus])
+
+    # per-level summary = the median-rate run, plus all repeat rates
     results = {}
-    for idx, cpus in enumerate(levels):
-        if idx:
-            os.sync()
-            time.sleep(15)   # let the previous JVM's I/O and page cache settle
-        cmd = [sys.executable, os.path.abspath(__file__),
-               "--run-level", str(cpus), "--pages", pages_path,
-               "--workdir", workdir] \
-            + (["--small"] if args.small else []) \
-            + (["--executors"] if args.executors else [])
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              cwd=os.path.dirname(os.path.dirname(
-                                  os.path.abspath(__file__))))
-        line = [ln for ln in proc.stdout.splitlines()
-                if ln.startswith("RESULT ")]
-        if not line:
-            print(proc.stdout[-2000:], file=sys.stderr)
-            print(proc.stderr[-2000:], file=sys.stderr)
-            raise RuntimeError(f"level {cpus} failed")
-        results[cpus] = json.loads(line[-1][len("RESULT "):])
-        lbl = (f"local-cluster[{max(1, cpus // 2)}x2cores]"
-               if args.executors else f"local[{cpus}]")
-        print(f"LEVEL {lbl}: {results[cpus]['urls_per_sec']} urls/s "
-              f"({results[cpus]['sec']}s)", file=sys.stderr)
+    for cpus in levels:
+        med = median_rate(cpus)
+        rep = min(runs[cpus], key=lambda r: abs(r["urls_per_sec"] - med))
+        results[cpus] = dict(
+            rep, urls_per_sec_median=round(med, 2),
+            repeat_rates=[r["urls_per_sec"] for r in runs[cpus]])
 
     lo, hi = min(levels), max(levels)
     factor = hi / lo
-    eff = results[hi]["urls_per_sec"] / (factor * results[lo]["urls_per_sec"])
+    eff = median_rate(hi) / (factor * median_rate(lo))
+    eff_runs = [h["urls_per_sec"] / (factor * l["urls_per_sec"])
+                for l, h in zip(runs[lo], runs[hi])]
     out = {
         "config": cfg, "mode": "local-cluster" if args.executors else "local",
-        "gen_sec": gen_sec,
+        "gen_sec": gen_sec, "repeats": max(1, args.repeats),
         "levels": {str(k): v for k, v in results.items()},
         "scaling": {
             "n_cores": lo, "four_n_cores": hi, "factor": factor,
-            "rate_n": results[lo]["urls_per_sec"],
-            "rate_4n": results[hi]["urls_per_sec"],
+            "rate_n": round(median_rate(lo), 2),
+            "rate_4n": round(median_rate(hi), 2),
             "efficiency": round(eff, 3),
+            "efficiency_per_repeat": [round(e, 3) for e in eff_runs],
             "target": 0.8,
             "pass": eff >= 0.8,
         },
