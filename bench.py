@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "x9_x16_content_analysis", "text_tokens", "text_quality",
     "text_langid", "dedup_exact", "dedup_minhash_signatures",
     "dedup_minhash_pairs", "dedup_simhash", "dedup_ngram_jaccard",
-    "ann_brute_topk", "ann_lsh_topk", "mm_media_features",
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "mm_media_features",
 ]
 
 CRAWL_N, CRAWL_HOSTS, CRAWL_ROUNDS, CRAWL_SEEDS = 40000, 128, 3, 6144
@@ -83,22 +83,27 @@ def run_suite(spark, sf_dir: str,
 
 
 def run_ann_recall(spark, sf_dir: str, k: int = 5) -> dict:
-    """recall@k of the LSH ANN path vs the exact brute-force verifier
-    on the same query/corpus split the ann_* bench queries use — an
-    ANN operator without a recall number isn't a capability. Expect
-    well under 1.0: N_PLANES=12 / BAND_BITS=4 trades recall for a
-    candidate set ~1000x smaller than the cross join (documented
-    band/probe tradeoff; more probes or fewer bits per band raise it)."""
+    """recall@k of the approximate ANN paths (LSH, IVF) vs the exact
+    brute-force verifier on the same query/corpus split the ann_*
+    bench queries use — an ANN operator without a recall number isn't
+    a capability. Expect well under 1.0: LSH's N_PLANES=12 /
+    BAND_BITS=4 and IVF's NPROBE=4/NLIST=16 trade recall for a
+    candidate set far smaller than the cross join (documented
+    band/probe tradeoffs; more probes or fewer bits per band raise
+    them)."""
     import __spark_entry__ as E
-    from pyspark.sql import functions as F
     brute = E.queries()["ann_brute_topk"](spark, sf_dir) \
         .select("query_id", "neighbor_id")
-    lsh = E.queries()["ann_lsh_topk"](spark, sf_dir) \
-        .select("query_id", "neighbor_id")
     n_brute = brute.count()
-    n_hit = brute.join(lsh, ["query_id", "neighbor_id"], "semi").count()
-    return {"k": k, "exact_pairs": n_brute, "lsh_hits": n_hit,
-            "recall_at_k": round(n_hit / max(n_brute, 1), 4)}
+    out = {"k": k, "exact_pairs": n_brute}
+    for tag, qname in (("lsh", "ann_lsh_topk"), ("ivf", "ann_ivf_topk")):
+        approx = E.queries()[qname](spark, sf_dir) \
+            .select("query_id", "neighbor_id")
+        n_hit = brute.join(approx, ["query_id", "neighbor_id"],
+                           "semi").count()
+        out[f"{tag}_hits"] = n_hit
+        out[f"{tag}_recall_at_k"] = round(n_hit / max(n_brute, 1), 4)
+    return out
 
 
 def run_crawl(spark, n: int = CRAWL_N, n_hosts: int = CRAWL_HOSTS,

@@ -187,6 +187,40 @@ class TestANN:
         # vec 1 is a tiny perturbation of vec 0 → same buckets, rank 1
         assert lsh and lsh[0]["neighbor_id"] == 1
 
+    def test_ivf_matches_numpy_reference(self, embeddings):
+        """Numpy re-derivation of the whole IVF path (pivot rule,
+        argmax assignment, probe order, re-rank) — independent of both
+        the Spark plan and the DuckDB twin."""
+        df, vecs = embeddings
+        q = df.where(F.col("vec_id") < 10)
+        got = SIM.ivf_topk(q, df, dim=16, k=3, nlist=8, nprobe=3).collect()
+
+        v = vecs.astype(np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        key = [(i * SIM.KNUTH) % SIM.PIVOT_MOD for i in range(40)]
+        piv = sorted(range(40), key=lambda i: (key[i], i))[:8]
+        pcos = (v @ v[piv].T) / (norms[:, None] * norms[piv][None, :])
+        assign = np.argmax(pcos, axis=1)          # first max on ties
+        sims = (v @ v.T) / (norms[:, None] * norms[None, :])
+        for qi in range(10):
+            probes = sorted(range(8), key=lambda p: (-pcos[qi][p], p))[:3]
+            cand = [i for i in range(40)
+                    if assign[i] in probes and i != qi]
+            order = sorted(cand, key=lambda i: (-sims[qi][i], i))[:3]
+            mine = sorted([r for r in got if r["query_id"] == qi],
+                          key=lambda r: r["rank"])
+            assert [r["neighbor_id"] for r in mine] == order
+            for r in mine:
+                assert abs(r["cosine_sim"]
+                           - sims[qi][r["neighbor_id"]]) < 1e-9
+
+    def test_ivf_finds_near_duplicate(self, embeddings):
+        df, _ = embeddings
+        q = df.where(F.col("vec_id") == 0)
+        ivf = SIM.ivf_topk(q, df, dim=16, k=3, nlist=8, nprobe=3).collect()
+        # vec 1 ≈ vec 0 → same cell (max-cosine pivot), rank 1
+        assert ivf and ivf[0]["neighbor_id"] == 1
+
 
 class TestTextStats:
     def test_langid(self, spark):

@@ -11,6 +11,11 @@ counterpart — the reference stores no vectors). Two strategies:
   generation by bucket equi-join (optionally multi-probe over bands of
   the signature), exact cosine re-rank within candidates. At 10^10
   vectors the bucket join shuffles only (bucket_key), never quadratic.
+- ``ivf_topk``: inverted-file index — the corpus is partitioned into
+  NLIST cells by nearest pivot vector; a query probes only its NPROBE
+  nearest cells. Pivots are chosen by a deterministic hash-systematic
+  rule (no RNG, no iteration) so the whole index build is a pure
+  function of the data and the DuckDB oracle reproduces it exactly.
 
 Hyperplanes are pseudo-random but *arithmetically* derived (no RNG
 state) so the oracle reproduces them:  plane_p[d] =
@@ -311,6 +316,158 @@ scored AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY {cos} DESC, neighbor_id ASC) AS rank
   FROM cand
+)
+SELECT query_id, neighbor_id, rank, cosine_sim FROM scored WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+NLIST = 16             # cells; scale as ~sqrt(N) on a real corpus
+NPROBE = 4             # cells probed per query — the recall knob
+PIVOT_MOD = 1_000_003  # hash-systematic pivot selection modulus
+
+
+def _pivot_key(id_col: Column) -> Column:
+    """Deterministic pivot-selection key: (id * KNUTH) % PIVOT_MOD.
+    Plain integer arithmetic (no engine-specific hash) so the DuckDB
+    twin computes the identical ordering. Domain note: ids must stay
+    below ~3.4e9 to avoid 64-bit overflow in the multiply; at larger
+    id spaces switch the key to pmod(id, PIVOT_MOD) * KNUTH % ... on
+    pre-bucketed ids (documented, not needed at sandbox scale)."""
+    return F.pmod(id_col.cast("long") * F.lit(KNUTH), F.lit(PIVOT_MOD))
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side dot with the SAME left-fold order as ``_dot`` /
+    ``cosine_sql`` so pivot norms are bit-identical across engines."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             nlist: int = NLIST, nprobe: int = NPROBE) -> DataFrame:
+    """IVF ANN top-k: (query_id, neighbor_id, rank, cosine_sim).
+
+    Index build: NLIST pivot vectors are the corpus rows with the
+    smallest hash-systematic key (TakeOrdered — one narrow top-k job,
+    NLIST rows to the driver). Every corpus vector is assigned to its
+    max-cosine pivot ENTIRELY map-side against the broadcast pivot
+    literals — no shuffle, no cross join, no iteration; the inverted
+    "list" is just a column. Query: the NPROBE highest-cosine cells
+    are probed, so the re-rank touches ~nprobe/nlist of the corpus.
+
+    Scale: the only shuffles are the (list_id) candidate equi-join and
+    the per-query top-k window — both keyed uniformly (cells are
+    hash-balanced pivots). At 10^10 vectors raise nlist toward
+    sqrt(N); assignment cost is O(N * nlist * dim) map-side, the probe
+    join is never quadratic. A Lloyd-refinement of the pivots is a
+    drop-in (re-collect, re-assign) but is deliberately NOT the
+    default: the unrefined index is a pure function of the data, which
+    keeps the cross-engine oracle exact.
+    """
+    import math as _math
+
+    pivots = (corpus
+              .orderBy(_pivot_key(F.col(id_col)), F.col(id_col))
+              .limit(nlist)
+              .select(id_col, vec_col)
+              .collect())
+    pvecs = [[float(x) for x in r[vec_col]] for r in pivots]
+    pnorms = [_math.sqrt(_fold_dot(v, v)) for v in pvecs]
+
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def with_cells(df: DataFrame, role: str) -> DataFrame:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        df = df.select(F.col(id_col).alias(f"{role}_id"),
+                       dv.alias(f"_{role}v"))
+        df = df.withColumn(f"_{role}n",
+                           F.sqrt(_dot(F.col(f"_{role}v"),
+                                       F.col(f"_{role}v"))))
+        pcos = F.array(*[
+            _dot(F.col(f"_{role}v"),
+                 F.array(*[F.lit(x) for x in pvecs[p]]))
+            / (F.col(f"_{role}n") * F.lit(pnorms[p]))
+            for p in range(nlist)])
+        return df.withColumn("_pcos", pcos)
+
+    # corpus: map-only argmax assignment (first index on ties == the
+    # oracle's ORDER BY cos DESC, pidx ASC)
+    c = (with_cells(corpus, "neighbor")
+         .withColumn("list_id",
+                     F.array_position(F.col("_pcos"),
+                                      F.array_max(F.col("_pcos")))
+                     .cast("int"))
+         .select("neighbor_id", "_neighborv", "_neighborn", "list_id"))
+
+    # queries: NPROBE best cells each (sort by (-cos, pidx) — Spark
+    # normalizes -0.0 == 0.0 in comparisons, matching the oracle)
+    probe_structs = F.array(*[
+        F.struct((-F.element_at(F.col("_pcos"), p + 1)).alias("d"),
+                 F.lit(p + 1).alias("p"))
+        for p in range(nlist)])
+    q = (with_cells(queries, "query")
+         .withColumn("list_id",
+                     F.explode(F.transform(
+                         F.slice(F.array_sort(probe_structs), 1, nprobe),
+                         lambda s: s["p"].cast("int"))))
+         .select("query_id", "_queryv", "_queryn", "list_id"))
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim",
+                    _dot(F.col("_queryv"), F.col("_neighborv"))
+                    / (F.col("_queryn") * F.col("_neighborn")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def ivf_topk_sql(q_table: str, c_table: str, dim: int, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 nlist: int = NLIST, nprobe: int = NPROBE) -> str:
+    """DuckDB twin of ivf_topk (same pivots, assignment, probes)."""
+    key = f"({id_col} * {KNUTH}) % {PIVOT_MOD}"
+    cos_cp = cosine_sql(f"c.{vec_col}", "p.pv", dim)
+    cos_qp = cosine_sql(f"q.{vec_col}", "p.pv", dim)
+    cos_qn = cosine_sql("qv", "nv", dim)
+    return f"""
+WITH piv AS (
+  SELECT row_number() OVER (ORDER BY {key}, {id_col}) AS pidx,
+         {vec_col} AS pv
+  FROM (SELECT {id_col}, {vec_col} FROM {c_table}
+        ORDER BY {key}, {id_col} LIMIT {nlist})
+),
+assign AS (
+  SELECT neighbor_id, nv, list_id FROM (
+    SELECT c.{id_col} AS neighbor_id, c.{vec_col} AS nv, p.pidx AS list_id,
+           row_number() OVER (PARTITION BY c.{id_col}
+                              ORDER BY {cos_cp} DESC, p.pidx ASC) AS rn
+    FROM {c_table} c CROSS JOIN piv p) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.{id_col} AS query_id, q.{vec_col} AS qv, p.pidx AS list_id,
+           row_number() OVER (PARTITION BY q.{id_col}
+                              ORDER BY {cos_qp} DESC, p.pidx ASC) AS rn
+    FROM {q_table} q CROSS JOIN piv p) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos_qn} AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {cos_qn} DESC, neighbor_id ASC) AS rank
+  FROM probe JOIN assign USING (list_id)
+  WHERE query_id != neighbor_id
 )
 SELECT query_id, neighbor_id, rank, cosine_sim FROM scored WHERE rank <= {k}
 """
