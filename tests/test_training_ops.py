@@ -393,6 +393,73 @@ class TestStreaming:
              for r in batch.collect()}
         assert g == b and len(g) >= 4
 
+    def _events_with_sentinel(self, spark, src):
+        events = spark.range(0, 500).select(
+            F.col("id").alias("event_id"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + (F.col("id") * 97 % 7200).cast("int")
+             .cast("string").cast("interval second")).alias("ts"),
+            (F.col("id") % 7).alias("user_id"),
+            F.concat(F.lit("type"), (F.col("id") % 3).cast("string"))
+            .alias("event_type"),
+            (F.col("id") * 1.5).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sentinel = events.limit(1).select(
+            F.lit(99_999).alias("event_id"),
+            F.lit("2024-01-02 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(999).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"), F.lit("{}").alias("props"))
+        events.unionByName(sentinel).write.mode("overwrite").parquet(src)
+
+    def test_sliding_counts_match_batch(self, spark, tmp_path):
+        from web_scrapers_python_spark.streaming import metrics as ST
+        src = str(tmp_path / "events_sl")
+        self._events_with_sentinel(spark, src)
+        q = (ST.sliding_event_counts(ST.stream_events(spark, src))
+             .writeStream.format("memory").queryName("stream_sliding")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = spark.table("stream_sliding") \
+            .where(F.col("event_type") != "sentinel")
+        batch = ST.sliding_event_counts(
+            spark.read.parquet(src)
+            .where(F.col("event_type") != "sentinel"))
+        key = ["window_start", "window_end", "event_type"]
+
+        def as_map(df):
+            return {tuple(r[k] for k in key):
+                    (r["n_events"], round(r["sum_value"], 6))
+                    for r in df.collect()}
+        g, b = as_map(got), as_map(batch)
+        assert g == b and len(g) >= 8
+        # every event is in exactly window/slide = 2 windows
+        n_events = sum(v[0] for v in g.values())
+        assert n_events == 2 * 500
+
+    def test_session_windows_match_batch(self, spark, tmp_path):
+        from web_scrapers_python_spark.streaming import metrics as ST
+        src = str(tmp_path / "events_se")
+        self._events_with_sentinel(spark, src)
+        q = (ST.session_event_counts(ST.stream_events(spark, src))
+             .writeStream.format("memory").queryName("stream_sessions")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = spark.table("stream_sessions").where(F.col("user_id") != 999)
+        batch = ST.session_event_counts(
+            spark.read.parquet(src).where(F.col("user_id") != 999))
+        key = ["session_start", "session_end", "user_id"]
+
+        def as_map(df):
+            return {tuple(r[k] for k in key):
+                    (r["n_events"], round(r["sum_value"], 6))
+                    for r in df.collect()}
+        g, b = as_map(got), as_map(batch)
+        assert g == b and len(g) >= 7
+        # sessions partition the events: per-user counts add up
+        assert sum(v[0] for v in g.values()) == 500
+
 
 class TestDupClusters:
     def test_components_min_label(self, spark):

@@ -50,6 +50,47 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def sliding_event_counts(events: DataFrame, window: str = "30 minutes",
+                         slide: str = "15 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Sliding (hopping) event-time counts per event_type: each event
+    lands in window/slide overlapping windows (epoch-aligned, same as
+    the tumbling grid). State per (window, event_type) is bounded by
+    the watermark horizon exactly as in the tumbling case — the only
+    scale delta is the window/slide output multiplier, which is a
+    constant. ``withWatermark`` is a no-op on a batch frame, so the
+    same function is the batch twin the oracle checks."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def session_event_counts(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (``F.session_window``): events closer
+    than ``gap`` merge; session end = last event + gap. The native
+    session operator keeps state per OPEN session keyed by user — at
+    10^10 events the state is bounded by (active users x watermark
+    horizon), and the shuffle is one exchange on user_id. Works
+    identically on a batch frame (watermark no-op), which is what the
+    DuckDB gaps-and-islands twin verifies."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id", "n_events", "sum_value")
+    )
+
+
 def run_to_memory(spark: SparkSession, src_path: str, table: str,
                   window: str = "1 hour", watermark: str = "2 hours",
                   output_mode: str = "append"):
