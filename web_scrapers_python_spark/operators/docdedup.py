@@ -140,6 +140,11 @@ def minhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        # materialize once (O(dup pairs) rows): the pair set feeds both
+        # the candidate-id broadcast and the verify join below, and
+        # without the checkpoint each use would re-run the whole
+        # signature + band-join pipeline
+        .localCheckpoint()
     )
     pairs = _exact_jaccard(df, cand, id_col, text_col) \
         .where(F.col("jaccard") >= threshold)
@@ -154,8 +159,19 @@ def _exact_jaccard(df: DataFrame, cand: DataFrame, id_col: str,
     """Exact char-shingle Jaccard for candidate (id_a, id_b) pairs via
     explode + count-common (codegen aggregates; the array_intersect
     spelling is interpreted and quadratic in shingle count). Pairs with
-    zero common shingles are not produced (their jaccard is 0)."""
-    shing = _spread(df).select(
+    zero common shingles are not produced (their jaccard is 0).
+
+    Only CANDIDATE docs are shingled: a broadcast semi-join against the
+    (tiny, checkpointed) candidate-id set prunes the corpus before the
+    explode, so the verify fan-out and its join shuffles are
+    O(candidate docs x shingles), not O(corpus x shingles) — at 10^10
+    docs the verify cost tracks the dup density, not the corpus."""
+    ids = (cand.select(F.col("id_a").alias("_id"))
+           .unionByName(cand.select(F.col("id_b").alias("_id")))
+           .distinct())
+    docs_c = df.join(F.broadcast(ids),
+                     F.col(id_col) == F.col("_id"), "semi")
+    shing = _spread(docs_c).select(
         F.col(id_col).alias("_id"),
         F.explode(H.char_shingles(H.normalize_text(F.col(text_col)),
                                   SHINGLE_K)).alias("_sh"))
