@@ -252,3 +252,58 @@ def test_seed_line_oracle():
     }
     assert ref.parse_seed_line("ftp://nope") is None
     assert ref.parse_seed_line("# comment") is None
+
+
+NASTY_URLS = [
+    "  https://Example.COM:443/a/b/?b=2&a=1&utm_source=x#frag  ",
+    "HTTP://EXAMPLE.com:80/path///",
+    "https://example.com/path?",
+    "https://example.com/path?utm_campaign=z&utm_medium=y",
+    "https://example.com",
+    "http://user:Pw@Sub.Example.com:8080/x?z=1&y=2",
+    "https://example.com/a#",
+    "https://example.com/a?a=1&a=0",
+    "https://example.com:4430/a",
+    "http://example.com:443/a",     # not the default port for http
+]
+
+
+def test_canonicalize_url_parity(spark):
+    """Spark expression == Python twin on the nasty-variant corpus."""
+    from web_scrapers_python_spark.functions.urls import canonicalize_url
+    got = _col_vals(spark, NASTY_URLS, canonicalize_url)
+    want = [ref.canonicalize_url(u) for u in NASTY_URLS]
+    assert got == want
+
+
+def test_canonicalize_url_rules():
+    """The documented crawlee-uniqueKey rules, case by case."""
+    c = ref.canonicalize_url
+    assert c("  https://Example.COM:443/a/b/?b=2&a=1&utm_source=x#frag  ") \
+        == "https://example.com/a/b?a=1&b=2"
+    assert c("HTTP://EXAMPLE.com:80/path///") == "http://example.com/path"
+    assert c("https://example.com/path?") == "https://example.com/path"
+    assert c("https://example.com") == "https://example.com"
+    # non-default ports and cross-scheme ports survive
+    assert c("https://example.com:4430/a") == "https://example.com:4430/a"
+    assert c("http://example.com:443/a") == "http://example.com:443/a"
+    # userinfo is part of the authority (netloc parity) and lowercases
+    assert c("http://user:Pw@Sub.Example.com:8080/x?z=1&y=2") \
+        == "http://user:pw@sub.example.com:8080/x?y=2&z=1"
+
+
+def test_canonical_variants_collapse_in_frontier_dedup(spark):
+    """Messy variants of one URL get ONE frontier row (crawlee
+    uniqueKey semantics, J2) while distinct URLs survive."""
+    from web_scrapers_python_spark.operators.dedup import first_wins
+    from web_scrapers_python_spark.operators.links import with_url_identity
+    rows = [
+        ("https://example.com/a?b=2&a=1", 0),
+        ("HTTPS://EXAMPLE.com:443/a/?a=1&b=2&utm_ref=r#x", 1),
+        ("https://example.com/a?a=1&b=2", 2),
+        ("https://example.com/b", 3),
+    ]
+    df = spark.createDataFrame(rows, "url string, seq long")
+    out = first_wins(with_url_identity(df, 8), "url_hash", "seq").collect()
+    assert {r["seq"] for r in out} == {0, 3}
+    assert len(out) == 2

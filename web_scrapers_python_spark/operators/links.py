@@ -26,9 +26,18 @@ def host_bucket(host_col, n_buckets: int):
 
 
 def with_url_identity(df: DataFrame, n_buckets: int) -> DataFrame:
-    """Attach url_hash / host / host_bucket identity columns (X1, X3)."""
+    """Attach url_hash / host / host_bucket identity columns (X1, X3).
+
+    The frontier dedup key hashes the CANONICAL URL (crawlee uniqueKey
+    normalization — trim/fragment/case/default-port/trailing-slash/
+    utm/param-sort; functions/urls.py::canonicalize_url), merging the
+    reference's two dedup layers (crawlee queue uniqueKey +
+    cassandra url_tracker) into one key. For already-canonical URLs
+    the two layers agree and this is exactly the raw sha256[:16];
+    store-time article url_hash stays raw (cassandra_manager.py:
+    408-410 parity, operators/parse.py)."""
     return (
-        df.withColumn("url_hash", U.url_hash(F.col("url")))
+        df.withColumn("url_hash", U.canonical_url_hash(F.col("url")))
         .withColumn("host", U.extract_domain(F.col("url")))
         .withColumn("host_bucket", host_bucket(F.col("host"), n_buckets))
     )

@@ -58,7 +58,7 @@ def simulate(pages: dict[str, bytes], seeds: list[dict],
 
     # bootstrap: seeds in file order, first-wins (J2)
     for s in seeds:
-        h = ref.url_hash(s["url"])
+        h = ref.canonical_url_hash(s["url"])  # crawlee uniqueKey (J2)
         if h in res.entries:
             continue
         res.entries[h] = SimEntry(
@@ -131,7 +131,7 @@ def simulate(pages: dict[str, bytes], seeds: list[dict],
         # enqueue in (parent_seq, pos) order — the engine's seq semantics
         discoveries.sort(key=lambda t: (t[0], t[1]))
         for parent_seq, pos, parent, child in discoveries:
-            h = ref.url_hash(child)
+            h = ref.canonical_url_hash(child)  # crawlee uniqueKey (J2)
             if h in res.entries:
                 continue  # first-wins + seen dedup (J1/J2)
             res.entries[h] = SimEntry(

@@ -76,6 +76,36 @@ def select_parser_id(url: str, forced: str | None = None) -> str | None:
     return None
 
 
+def canonicalize_url(url: str) -> str:
+    """Python twin of functions/urls.py::canonicalize_url — crawlee
+    uniqueKey normalization (public library behavior; SURVEY §2.3 J2):
+    trim, drop fragment, lowercase scheme+authority, strip default
+    port, strip trailing path slashes, drop utm_* params, sort the
+    rest as raw k=v strings."""
+    u = re.sub(r"#.*$", "", url.strip())
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", u)
+    scheme = m.group(1).lower() if m else ""
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", u)
+    auth = m.group(1).lower() if m else ""
+    if scheme == "http" and auth.endswith(":80"):
+        auth = auth[:-3]
+    elif scheme == "https" and auth.endswith(":443"):
+        auth = auth[:-4]
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", u)
+    path = re.sub(r"/+$", "", m.group(1)) if m else ""
+    m = re.search(r"\?([^#]*)", u)
+    query = m.group(1) if m else ""
+    params = sorted(p for p in query.split("&")
+                    if p != "" and not p.lower().startswith("utm_"))
+    base = f"{scheme}://{auth}{path}"
+    return base + ("?" + "&".join(params) if params else "")
+
+
+def canonical_url_hash(url: str) -> str:
+    """The J1/J2 dedup key: url_hash over the canonical form."""
+    return url_hash(canonicalize_url(url))
+
+
 def url_hash(url: str) -> str:
     """cassandra_manager.py:408-410 — sha256(url)[:16] hex."""
     return hashlib.sha256(url.encode()).hexdigest()[:16]
