@@ -191,3 +191,68 @@ class TestFrontierDeltaCommit:
             assert m["_collects"] <= 4, m
         # the final drain round has no discoveries: 1 planning collect
         assert ms[-1]["_collects"] == 1, ms[-1]
+
+
+class TestBucketedJoin:
+    def test_fetch_join_elides_both_exchanges(self, spark, tmp_path):
+        """Pages corpus and scheduled batch both bucketed by url_hash →
+        the round's fetch join runs with ZERO ShuffleExchange (the
+        10^10-scale plan: the corpus never moves)."""
+        from web_scrapers_python_spark.sources.bucketed import (
+            read_bucketed, write_bucketed)
+        from web_scrapers_python_spark.operators.links import (
+            with_url_identity)
+
+        pages = G.generate_pages(spark, 400, 16, 42)
+        ident = with_url_identity(pages.select("url"), 16)
+        corpus = pages.join(ident.select("url", "url_hash"), "url")
+        sched = ident.select("url_hash", "url").limit(50)
+
+        write_bucketed(corpus, "t_pages_b", str(tmp_path / "pages_b"),
+                       n_buckets=8)
+        write_bucketed(sched, "t_sched_b", str(tmp_path / "sched_b"),
+                       n_buckets=8)
+        try:
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = read_bucketed(spark, "t_pages_b").join(
+                read_bucketed(spark, "t_sched_b").select("url_hash"),
+                "url_hash")
+            plan = joined._sc._jvm.PythonSQLUtils.explainString(
+                joined._jdf.queryExecution(), "formatted")
+            assert "Exchange" not in plan, plan[:2000]
+            assert "SortMergeJoin" in plan, plan[:2000]
+            # and the result is the real join result
+            assert joined.count() == 50
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_pages_b")
+            spark.sql("DROP TABLE IF EXISTS t_sched_b")
+
+    def test_bucketed_scan_skips_sort(self, spark, tmp_path):
+        """sortBy(url_hash) at write time → no Sort operator below the
+        bucketed scans in the merge join."""
+        from web_scrapers_python_spark.sources.bucketed import (
+            read_bucketed, write_bucketed)
+        df = spark.range(1000).select(
+            F.sha2(F.col("id").cast("string"), 256).substr(1, 16)
+            .alias("url_hash"),
+            F.col("id").alias("payload"))
+        write_bucketed(df, "t_sorted_a", str(tmp_path / "a"), n_buckets=4)
+        write_bucketed(df, "t_sorted_b", str(tmp_path / "b"), n_buckets=4)
+        try:
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = read_bucketed(spark, "t_sorted_a").join(
+                read_bucketed(spark, "t_sorted_b").select("url_hash"),
+                "url_hash")
+            plan = j._sc._jvm.PythonSQLUtils.explainString(
+                j._jdf.queryExecution(), "formatted")
+            assert "Exchange" not in plan
+            assert "(Sort" not in plan.replace("SortMergeJoin", "SMJ"), \
+                plan[:2000]
+            assert j.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_sorted_a")
+            spark.sql("DROP TABLE IF EXISTS t_sorted_b")
