@@ -39,6 +39,32 @@ BENCH_QUERIES = [
 CRAWL_N, CRAWL_HOSTS, CRAWL_ROUNDS, CRAWL_SEEDS = 40000, 128, 3, 6144
 CRAWL_BUDGET = 8192          # bench politeness budget (throughput headline)
 
+PAGES_CACHE_DIR = os.environ.get("SPARK_GRAFT_PAGES_CACHE",
+                                 "/tmp/spark_graft_bench_cache")
+
+
+def cached_pages(spark, n: int, n_hosts: int, seed: int,
+                 body_scale: int = 1):
+    """Corpus generation is a pure function of (seed, n, n_hosts,
+    body_scale) — cache the parquet across bench invocations so the
+    driver's per-round run doesn't re-pay ~2 min of page synthesis.
+    Falls back to direct generation if the cache dir is unwritable."""
+    from web_scrapers_python_spark.sources import datagen as G
+    key = f"pages_s{seed}_n{n}_h{n_hosts}_b{body_scale}_v1"
+    path = os.path.join(PAGES_CACHE_DIR, key)
+    try:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            G.generate_pages(spark, n, n_hosts, seed,
+                             body_scale=body_scale) \
+                .write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    except Exception as ex:                      # pragma: no cover
+        print(f"pages cache unavailable ({ex}); generating",
+              file=sys.stderr)
+        return G.generate_pages(spark, n, n_hosts, seed,
+                                body_scale=body_scale)
+
+
 
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
@@ -58,9 +84,9 @@ def build_spark(cpus: int):
     )
 
 
-def run_suite(spark, sf_dir: str,
-              repeats: int = 3) -> tuple[dict[str, float],
-                                         dict[str, list[float]]]:
+def run_suite(spark, sf_dir: str, repeats: int = 3,
+              section_budget: float | None = None
+              ) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Each query runs ``repeats`` times (whole list per pass, so
     thermal/background drift spreads across queries, not repeats) and
     the MEDIAN is the reported number — this box has a documented ±30%
@@ -71,12 +97,19 @@ def run_suite(spark, sf_dir: str,
     import __spark_entry__ as E
     qs = E.queries()
     runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
-    for _ in range(repeats):
+    sect0 = time.time()
+    last_pass = None
+    for i in range(repeats):
+        if i > 0 and section_budget is not None \
+                and (time.time() - sect0) + last_pass > section_budget:
+            break
+        p0 = time.time()
         for name in BENCH_QUERIES:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
             runs[name].append(round(time.time() - t0, 3))
+        last_pass = time.time() - p0
     medians = {name: round(statistics.median(v), 3)
                for name, v in runs.items()}
     return medians, runs
@@ -108,7 +141,7 @@ def run_ann_recall(spark, sf_dir: str, k: int = 5) -> dict:
 
 def run_crawl(spark, n: int = CRAWL_N, n_hosts: int = CRAWL_HOSTS,
               rounds: int = CRAWL_ROUNDS, n_seeds: int = CRAWL_SEEDS,
-              repeats: int = 3) -> dict:
+              repeats: int = 3, section_budget: float | None = None) -> dict:
     from pyspark.sql import functions as F
     from web_scrapers_python_spark.plans.engine import CrawlConfig, CrawlEngine
     from web_scrapers_python_spark.sources import datagen as G
@@ -117,9 +150,10 @@ def run_crawl(spark, n: int = CRAWL_N, n_hosts: int = CRAWL_HOSTS,
 
     seed = 42
     wh = tempfile.mkdtemp(prefix="crawl-bench-")
+    sect0 = time.time()
     try:
         cpus = spark.sparkContext.defaultParallelism
-        pages = G.generate_pages(spark, n, n_hosts, seed) \
+        pages = cached_pages(spark, n, n_hosts, seed) \
             .repartition(cpus * 3).cache()
         pages.count()  # materialize outside the timed section
         # Bench politeness: generous per-host budget — the headline is
@@ -143,17 +177,28 @@ def run_crawl(spark, n: int = CRAWL_N, n_hosts: int = CRAWL_HOSTS,
                           default_budget=CRAWL_BUDGET)
 
         # Warm-up: one small structurally-identical crawl so whole-stage
-        # codegen + plan caches are hot (JVM warmup, not data reuse).
-        warm = CrawlEngine(spark, pages, policy,
+        # codegen + plan caches are hot (JVM warmup, not data reuse) —
+        # over a corpus SLICE: warming is about codegen, not data volume.
+        warm_pages = pages.limit(2000).cache()
+        warm_pages.count()
+        warm = CrawlEngine(spark, warm_pages, policy,
                            SnapshotCatalog(spark, os.path.join(wh, "warm")),
                            cfg)
         warm.run(mk_seeds(32, "warm_seeds.txt"), max_rounds=1)
+        warm_pages.unpersist()
 
         seeds = mk_seeds(n_seeds, "seeds.txt")
         # median-of-N crawls (fresh warehouse each): the box's ±30%
         # wall-clock spread makes a single crawl unreadable
         runs = []
         for i in range(repeats):
+            # budget-aware: never start a repeat the section can't afford
+            # (box variance can triple a crawl; a truncated median of 1-2
+            # runs beats a driver-killed bench with no JSON at all)
+            if runs and section_budget is not None \
+                    and (time.time() - sect0) + runs[-1]["sec"] \
+                    > section_budget:
+                break
             cwh = os.path.join(wh, f"run{i}")
             eng = CrawlEngine(spark, pages, policy,
                               SnapshotCatalog(spark, cwh), cfg)
@@ -196,7 +241,7 @@ def run_state_probe(spark) -> dict:
     from web_scrapers_python_spark.sources.seeds import read_seeds
 
     seed, n, n_hosts = 42, 3000, 64
-    pages = G.generate_pages(spark, n, n_hosts, seed).cache()
+    pages = cached_pages(spark, n, n_hosts, seed).cache()
     pages.count()
     policy = spark.createDataFrame(
         G.host_policy_rows(seed, n_hosts),
@@ -239,8 +284,7 @@ def run_state_probe(spark) -> dict:
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 
-    one(1000)  # warm codegen/plan caches so the first timed run is fair
-    t_small = one(PROBE_SEEN_SMALL)
+    t_small = one(PROBE_SEEN_SMALL)   # round 0 inside one() is the warm-up
     t_big = one(PROBE_SEEN_SMALL * 10)
     return {
         "seen_small": PROBE_SEEN_SMALL, "t_round_small_sec": t_small,
@@ -249,7 +293,7 @@ def run_state_probe(spark) -> dict:
     }
 
 
-PROBE_PENDING_SMALL = 300_000
+PROBE_PENDING_SMALL = 150_000   # big = 10x; ratio evidence, sized to fit the bench budget
 PROBE_COLD_HOSTS = 3000
 
 
@@ -273,7 +317,7 @@ def run_pending_probe(spark) -> dict:
     from web_scrapers_python_spark.sources.seeds import read_seeds
 
     seed, n, n_hosts, n_buckets = 42, 3000, 64, 1024
-    pages = G.generate_pages(spark, n, n_hosts, seed).cache()
+    pages = cached_pages(spark, n, n_hosts, seed).cache()
     pages.count()
     policy_rows = G.host_policy_rows(seed, n_hosts)
     cold = [{"host": f"cold{j}.example.com", "crawl_delay": 86400.0,
@@ -342,8 +386,7 @@ def run_pending_probe(spark) -> dict:
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 
-    one(1000)  # warm codegen/plan caches so the first timed run is fair
-    t_small = one(PROBE_PENDING_SMALL)
+    t_small = one(PROBE_PENDING_SMALL)   # round 0 inside one() warms
     t_big = one(PROBE_PENDING_SMALL * 10)
     return {
         "pending_small": PROBE_PENDING_SMALL, "t_round_small_sec": t_small,
@@ -365,15 +408,50 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    # Wall-clock budget: the driver runs this under a timeout; a bench
+    # that prints its JSON line with fewer repeats ALWAYS beats one the
+    # timeout kills. Sections degrade in priority order: crawl repeats
+    # first, suite passes second, probes are skipped only as a last
+    # resort (each reports what it actually ran).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "540"))
+    t_start = time.time()
+
+    def left() -> float:
+        return budget - (time.time() - t_start)
+
     spark = build_spark(cpus)
+    secs: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        r = fn()
+        secs[name] = round(time.time() - t0, 1)
+        print(f"[bench] section {name}: {secs[name]}s "
+              f"(budget left {round(left(), 1)}s)", file=sys.stderr)
+        return r
+
     try:
-        crawl = run_crawl(spark, repeats=repeats)
-        times, runs = run_suite(spark, sf_dir, repeats=repeats)
-        recall = run_ann_recall(spark, sf_dir)
+        # Order = evidence priority: crawl headline, then the two
+        # O(delta) state probes (hard round-3 criteria), then the query
+        # suite — its pass count is the elastic buffer — then recall.
+        crawl = timed("crawl", lambda: run_crawl(
+            spark, repeats=repeats, section_budget=0.27 * budget))
         probe = pprobe = None
         if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
-            probe = run_state_probe(spark)
-            pprobe = run_pending_probe(spark)
+            if left() > 130:
+                probe = timed("state_probe",
+                              lambda: run_state_probe(spark))
+            else:
+                probe = {"skipped": "bench budget exhausted"}
+            if left() > 110:
+                pprobe = timed("pending_probe",
+                               lambda: run_pending_probe(spark))
+            else:
+                pprobe = {"skipped": "bench budget exhausted"}
+        times, runs = timed("suite", lambda: run_suite(
+            spark, sf_dir, repeats=repeats,
+            section_budget=max(left() - 25, 70)))
+        recall = timed("recall", lambda: run_ann_recall(spark, sf_dir))
         total = round(sum(times.values()) + crawl["sec"], 3)
         out = {
             "metric": "suite+crawl wall sec (headline: crawl urls/sec; "
@@ -386,6 +464,7 @@ def main() -> None:
             "sf": sf,
             "cpus": cpus,
             "crawl": crawl,
+            "section_sec": secs,
         }
         if probe is not None:
             out["state_probe"] = probe

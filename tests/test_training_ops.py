@@ -272,6 +272,32 @@ class TestTextStats:
         assert got[0] > got[2]
 
 
+class TestQualityFilter:
+    def test_ladder_order_and_gates(self, spark):
+        en50 = ("the cat and the dog sat in the rain for hours . " * 8).strip()
+        rows = [
+            (0, en50),                               # keeps
+            (1, "short text"),                       # too_short
+            (2, "der hund und die katze " * 12),     # wrong_lang (de, 60 tok)
+            (3, ("zz qq ww ee rr tt yy uu ii oo " * 6).strip()),  # en? no →
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["reason"] for r in df.select(
+            "doc_id",
+            TS.quality_drop_reason(F.col("text")).alias("reason")).collect()}
+        assert got[0] is None
+        assert got[1] == "too_short"
+        assert got[2] == "wrong_lang"
+        assert got[3] is not None   # fails some later gate, never keeps
+
+    def test_too_long_gate(self, spark):
+        long_en = ("the and for that with this " * 2000).strip()  # 12k tokens
+        df = spark.createDataFrame([(0, long_en)], "doc_id long, text string")
+        r = df.select(TS.quality_drop_reason(F.col("text"))
+                      .alias("reason")).collect()[0]["reason"]
+        assert r == "too_long"
+
+
 class TestMultimodal:
     def test_features_match_hashlib(self, spark):
         df = spark.createDataFrame([(7, "hello media")], "doc_id long, text string")

@@ -224,3 +224,52 @@ def content_hash16(text: Column) -> Column:
 
 def content_hash16_sql(e: str) -> str:
     return f"substring(sha256({e}), 1, 16)"
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter pipeline (C4/Gopher-style keep/drop composition)
+# ---------------------------------------------------------------------------
+# The standard training-data cleaning step the reference lacks: compose
+# the corpus-prep signals above into a single keep/drop decision with a
+# first-match drop reason (ladder order is part of the contract, like
+# F9's parser CASE). Entirely JVM-native — one map-only pass, no
+# shuffle; at 100 TB this is the cheapest stage of the pipeline.
+
+QF_MIN_TOKENS = 50
+QF_MAX_TOKENS = 10_000
+QF_MIN_QUALITY = 5.0          # of the 0-10 doc_quality_score ladder
+QF_MIN_STOPWORD = 0.01
+QF_LANGS = ("en",)
+
+
+def quality_drop_reason(text: Column, langs: tuple[str, ...] = QF_LANGS,
+                        min_tokens: int = QF_MIN_TOKENS,
+                        max_tokens: int = QF_MAX_TOKENS,
+                        min_quality: float = QF_MIN_QUALITY,
+                        min_stopword: float = QF_MIN_STOPWORD) -> Column:
+    """First failing gate as a string, NULL = keep. Gate order:
+    too_short, too_long, wrong_lang, low_quality, low_stopword."""
+    wt = ws_token_count(text)
+    return (
+        F.when(wt < min_tokens, "too_short")
+        .when(wt > max_tokens, "too_long")
+        .when(~langid(text).isin(*langs), "wrong_lang")
+        .when(doc_quality_score(text) < min_quality, "low_quality")
+        .when(stopword_ratio(text) < min_stopword, "low_stopword")
+    )
+
+
+def quality_drop_reason_sql(e: str, langs: tuple[str, ...] = QF_LANGS,
+                            min_tokens: int = QF_MIN_TOKENS,
+                            max_tokens: int = QF_MAX_TOKENS,
+                            min_quality: float = QF_MIN_QUALITY,
+                            min_stopword: float = QF_MIN_STOPWORD) -> str:
+    wt = ws_token_count_sql(e)
+    langs_sql = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""CASE
+  WHEN {wt} < {min_tokens} THEN 'too_short'
+  WHEN {wt} > {max_tokens} THEN 'too_long'
+  WHEN {langid_sql(e)} NOT IN ({langs_sql}) THEN 'wrong_lang'
+  WHEN {doc_quality_score_sql(e)} < {min_quality} THEN 'low_quality'
+  WHEN {stopword_ratio_sql(e)} < {min_stopword} THEN 'low_stopword'
+  ELSE NULL END"""
