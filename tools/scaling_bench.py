@@ -87,6 +87,17 @@ def gen_corpus(workdir: str, cfg: dict) -> str:
             .write.mode("overwrite").parquet(path)
     finally:
         spark.stop()
+        # stop() leaves the py4j gateway JVM alive in this (long-lived
+        # orchestrator) process — and it can sit at ~2 cores of GC churn
+        # polluting every level measured afterwards. Shut it down hard.
+        try:
+            from pyspark import SparkContext
+            if SparkContext._gateway is not None:
+                SparkContext._gateway.shutdown()
+                SparkContext._gateway = None
+                SparkContext._jvm = None
+        except Exception:
+            pass
     return path
 
 
