@@ -50,7 +50,14 @@ def cached_pages(spark, n: int, n_hosts: int, seed: int,
     driver's per-round run doesn't re-pay ~2 min of page synthesis.
     Falls back to direct generation if the cache dir is unwritable."""
     from web_scrapers_python_spark.sources import datagen as G
-    key = f"pages_s{seed}_n{n}_h{n_hosts}_b{body_scale}_v1"
+    # key includes a fingerprint of datagen's SOURCE so any generator
+    # change invalidates the cache instead of silently reusing a stale
+    # corpus across rounds (round-3 ADVICE)
+    import hashlib
+    import inspect
+    gen_fp = hashlib.sha256(
+        inspect.getsource(G).encode()).hexdigest()[:10]
+    key = f"pages_s{seed}_n{n}_h{n_hosts}_b{body_scale}_g{gen_fp}"
     path = os.path.join(PAGES_CACHE_DIR, key)
     try:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -434,8 +441,14 @@ def main() -> None:
         # Order = evidence priority: crawl headline, then the two
         # O(delta) state probes (hard round-3 criteria), then the query
         # suite — its pass count is the elastic buffer — then recall.
+        # 0.45x budget: the crawl is the headline metric and MUST get
+        # its >=3 repeats before the suite gets its 3rd pass (the box's
+        # +-30-60% crawl spread makes single shots unreadable; r03's
+        # single-run headline was the round's evidentiary gap). The
+        # suite's own pass count is the elastic buffer below.
         crawl = timed("crawl", lambda: run_crawl(
-            spark, repeats=repeats, section_budget=0.27 * budget))
+            spark, repeats=max(repeats, 3),
+            section_budget=0.45 * budget))
         probe = pprobe = None
         if os.environ.get("SPARK_GRAFT_PROBE", "1") != "0":
             if left() > 130:
@@ -470,7 +483,37 @@ def main() -> None:
             out["state_probe"] = probe
         if pprobe is not None:
             out["pending_probe"] = pprobe
-        print(json.dumps(out))
+        # full detail goes to a FILE; stdout gets a COMPACT final line.
+        # The driver tail-captures stdout, and r03's line outgrew the
+        # capture window ("parsed": null) — keep the machine-readable
+        # channel small and stable.
+        detail_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_DETAIL",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL_latest.json"))
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(out, f, indent=1)
+            print(f"[bench] full detail -> {detail_path}", file=sys.stderr)
+        except OSError as ex:                      # pragma: no cover
+            print(f"[bench] detail write failed: {ex}", file=sys.stderr)
+        compact = {
+            "metric": out["metric"],
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "cpus": cpus,
+            "crawl": {k: crawl.get(k) for k in
+                      ("sec", "urls_per_sec", "runs_sec", "rounds",
+                       "urls_scheduled", "articles_parsed", "pages_corpus")},
+            "ann_recall": recall,
+        }
+        for tag, p in (("state_probe", probe), ("pending_probe", pprobe)):
+            if isinstance(p, dict):
+                compact[tag] = {k: v for k, v in p.items()
+                                if "ratio" in k or "skipped" in k}
+        print(json.dumps(compact))
     finally:
         spark.stop()
 

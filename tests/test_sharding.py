@@ -243,16 +243,30 @@ class TestBucketedJoin:
         try:
             prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # Spark >=3.0 ignores bucketed sortBy metadata unless this
+            # legacy conf is on (the writer guarantees its 1-file-per-
+            # bucket precondition); without it every bucketed join
+            # re-sorts the stored side
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering",
+                "true")
             j = read_bucketed(spark, "t_sorted_a").join(
                 read_bucketed(spark, "t_sorted_b").select("url_hash"),
                 "url_hash")
             plan = j._sc._jvm.PythonSQLUtils.explainString(
                 j._jdf.queryExecution(), "formatted")
-            assert "Exchange" not in plan
-            assert "(Sort" not in plan.replace("SortMergeJoin", "SMJ"), \
-                plan[:2000]
+            tree = plan.split("== Physical Plan ==")[-1].split("\n\n")[0]
+            assert "Exchange" not in tree
+            # a REAL no-sort assert (tree nodes print as "Sort (n)");
+            # the old "(Sort" spelling could never match and was
+            # vacuously green
+            import re as _re
+            assert not _re.search(r"\bSort \(", tree), tree
+            assert "SortMergeJoin" in tree, tree
             assert j.count() == 1000
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.unset(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering")
             spark.sql("DROP TABLE IF EXISTS t_sorted_a")
             spark.sql("DROP TABLE IF EXISTS t_sorted_b")

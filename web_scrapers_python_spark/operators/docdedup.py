@@ -143,8 +143,10 @@ def minhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         # materialize once (O(dup pairs) rows): the pair set feeds both
         # the candidate-id broadcast and the verify join below, and
         # without the checkpoint each use would re-run the whole
-        # signature + band-join pipeline
-        .localCheckpoint()
+        # signature + band-join pipeline. eager=False keeps plan
+        # CONSTRUCTION lazy (explain/audit tooling pays nothing); the
+        # block materializes at first action and is reused thereafter
+        .localCheckpoint(eager=False)
     )
     pairs = _exact_jaccard(df, cand, id_col, text_col) \
         .where(F.col("jaccard") >= threshold)
@@ -381,10 +383,10 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     swap the propagation step for the large-star/small-star rewriting
     (same driver loop shape, fewer rounds on high-diameter graphs).
 
-    Non-convergence is an ERROR, not a silent truncation: min-label
-    propagation advances one hop per iteration, so a component whose
-    diameter exceeds ``max_iters`` would otherwise return split
-    clusters with no signal — the loop raises instead."""
+    A component whose diameter exceeds ``max_iters`` is never silently
+    truncated: the loop ESCALATES to large-star/small-star rewriting
+    (``star_components`` below, O(log^2 n) rounds regardless of
+    diameter) and only raises if that too fails to converge."""
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -410,12 +412,78 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         if changed == 0:
             break
     else:
-        raise RuntimeError(
-            f"dup_clusters did not converge in {max_iters} iterations "
-            "(a dup component's diameter exceeds max_iters); raise "
-            "max_iters or switch to large-star/small-star rewriting")
+        # high-diameter component: min-label would need O(diameter)
+        # rounds; the star rewriting needs O(log^2 n) — switch.
+        return star_components(sym)
     return labels.select(F.col("src").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def star_components(sym: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    rewriting (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SOCC'14) — the 10^10-edge / high-diameter path promised by
+    ``dup_clusters``. Converges in O(log^2 n) rounds independent of
+    component diameter, so billion-long chains cost ~tens of rounds,
+    not a round per hop.
+
+    ``sym``: symmetric edge list (src, dst), self-loop-free or not.
+    Returns (doc_id, cluster_id = component-min doc id) — identical to
+    min-label output, so the DuckDB recursive-CTE oracle is unchanged.
+
+    Each round is two grouped-min + join rewrites:
+      large-star: every node u links each STRICTLY-LARGER neighbor to
+        min(G(u) + {u}) — shrinks long tails toward local minima
+        without ever orienting an edge away from the component min;
+      small-star: every node u (over edges oriented u > v) links its
+        smaller neighbors and itself to min(G-(u) + {u}) — flattens
+        the partial trees into stars.
+    Fixpoint: the small-star output is already a star forest rooted at
+    component minima; detected when the canonical edge set stops
+    changing (count + one-sided anti-join, two cheap jobs on the
+    O(edges) frame). Lineage is truncated per round (localCheckpoint)
+    for the same driver-OOM reason as the min-label loop."""
+    edges = (sym.where(F.col("src") != F.col("dst"))
+             .select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+             .distinct().localCheckpoint())
+    verts = (sym.select(F.col("src").alias("doc_id"))
+             .unionByName(sym.select(F.col("dst").alias("doc_id")))
+             .distinct().localCheckpoint())
+    n_prev = edges.count()
+    for _ in range(max_iters):
+        both = edges.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+            .unionByName(
+                edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        lmin = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (both.join(lmin, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("m").alias("a"), F.col("v").alias("b"))
+                 .where(F.col("a") != F.col("b")).distinct())
+        down = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        smin = down.groupBy("u").agg(F.min("v").alias("m"))
+        joined = down.join(smin, "u")
+        small = (
+            joined.select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .unionByName(
+                joined.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .where(F.col("a") != F.col("b")).distinct().localCheckpoint())
+        n_new = small.count()
+        if n_new == n_prev and \
+                small.join(edges, ["a", "b"], "left_anti").isEmpty():
+            edges = small
+            break
+        edges, n_prev = small, n_new
+    else:
+        raise RuntimeError(
+            f"star_components did not converge in {max_iters} rounds")
+    return (verts.join(edges.select(F.col("b").alias("doc_id"),
+                                    F.col("a").alias("_c")),
+                       "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("_c"),
+                               F.col("doc_id")).alias("cluster_id")))
 
 
 def dup_clusters_sql(pairs_sql: str, id_a: str = "id_a",

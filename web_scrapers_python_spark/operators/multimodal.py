@@ -232,13 +232,16 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [],
                     "frame": []}
-            for _, r in pdf.iterrows():
-                mime = r["meta"]["mime"]
-                payload = bytes(r["payload"])
+            # column zip (like extract_features) — iterrows() builds a
+            # Series per row and is the slowest batch traversal
+            for mid, meta, p in zip(pdf["media_id"], pdf["meta"],
+                                    pdf["payload"]):
+                mime = meta["mime"]
+                payload = bytes(p)
                 if mime == C.VIDEO_MIME:
                     frames = C.split_bmp_seq(payload)
                 elif mime == C.FAKE_MIME or decode_stub:
-                    dur = int(r["meta"]["duration_ms"] or 0)
+                    dur = int(meta["duration_ms"] or 0)
                     n_frames = max(1, dur // every_ms)
                     step = max(1, len(payload) // n_frames)
                     frames = [payload[i * step:(i + 1) * step]
@@ -247,7 +250,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
                     raise NotImplementedError(
                         f"no frame codec for mime {mime!r}")
                 for i, fr in enumerate(frames):
-                    rows["media_id"].append(r["media_id"])
+                    rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
                     rows["frame_ts_ms"].append(i * every_ms)
                     rows["frame"].append(fr)

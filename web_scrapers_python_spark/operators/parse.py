@@ -185,6 +185,51 @@ def parse_weibo_analyzed_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
     return pdf
 
 
+WEIBO_FULL_STRUCT = StructType(
+    list(ARTICLE_AI_STRUCT.fields) + [
+        StructField("post_id", StringType()),
+        StructField("likes", LongType()),
+        StructField("reposts", LongType()),
+        StructField("comments", LongType()),
+    ])
+
+
+@F.pandas_udf(WEIBO_FULL_STRUCT)
+def parse_weibo_full_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """Single-dispatch weibo UDF: emits BOTH the article-shaped view
+    (fused analysis, as parse_weibo_analyzed_udf) and the WeiboPost
+    fields (weibo.py:15-24) in ONE Arrow round-trip, so an engine round
+    parses each weibo page exactly once — the articles write and the
+    weibo_posts write both read the cached output."""
+    cols = [f.name for f in WEIBO_FULL_STRUCT.fields]
+    rows = []
+    for h, u in zip(html, url):
+        post = ox.parse_weibo(h, u) if h is not None else None
+        if post is None:
+            rows.append(dict.fromkeys(cols))
+        else:
+            rows.append({
+                "title": None,
+                "author": post["author"],
+                "published_at": None,
+                "description": None,
+                "content": post["content"],
+                "image": None,
+                "source": ref.extract_domain(u),
+                "ok": "ok",
+                "ai_analysis": ref.analyze(None, post["content"]),
+                "post_id": post["id"],
+                "likes": post["likes"],
+                "reposts": post["reposts"],
+                "comments": post["comments"],
+            })
+    pdf = pd.DataFrame(rows, columns=cols, dtype="object")
+    pdf["published_at"] = pd.to_datetime(pdf["published_at"])
+    for c in ("likes", "reposts", "comments"):
+        pdf[c] = pdf[c].astype("Int64")
+    return pdf
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def extract_links_udf(html: pd.Series, label: pd.Series) -> pd.Series:
     """enqueue_links (routes.py:44-57) — hrefs matching the selector, in
@@ -221,13 +266,15 @@ parse_generic_news_udf = parse_generic_news_udf.asNondeterministic()
 parse_weibo_udf = parse_weibo_udf.asNondeterministic()
 parse_news_analyzed_udf = parse_news_analyzed_udf.asNondeterministic()
 parse_weibo_analyzed_udf = parse_weibo_analyzed_udf.asNondeterministic()
+parse_weibo_full_udf = parse_weibo_full_udf.asNondeterministic()
 extract_links_udf = extract_links_udf.asNondeterministic()
 
 
 def parse_articles(fetched: DataFrame, parser_col: str = "parser",
                    html_col: str = "html", url_col: str = "url",
                    analyze: bool = False,
-                   with_failures: bool = False) -> DataFrame:
+                   with_failures: bool = False,
+                   weibo_parsed: DataFrame | None = None) -> DataFrame:
     """P3 dispatch: run each registered parser on its filtered branch and
     union by name into one articles frame.
 
@@ -246,6 +293,17 @@ def parse_articles(fetched: DataFrame, parser_col: str = "parser",
     pc, hc, uc = F.col(parser_col), F.col(html_col), F.col(url_col)
     ai = [F.col("_a.ai_analysis").alias("ai_analysis")] if analyze else []
     news_udf = parse_news_analyzed_udf if analyze else parse_generic_news_udf
+    # If the input already carries a url_hash (the engine's scheduled
+    # batch, where it is the CANONICAL crawlee-uniqueKey hash,
+    # links.py::with_url_identity), pass it through as the output key so
+    # every downstream key join (quarantine anti-join, history delta,
+    # dup events) stays in ONE keyspace. The raw store hash
+    # (cassandra_manager.py:408-410 parity) is emitted separately as
+    # ``store_url_hash``. Without passthrough (standalone use) both
+    # columns are the raw hash — identical for canonical URLs.
+    passthrough_key = "url_hash" in fetched.columns
+    key = ([F.col("url_hash").alias("_sched_url_hash")]
+           if passthrough_key else [])
 
     def flag(ok_col, reason_col):
         if not with_failures:
@@ -271,12 +329,22 @@ def parse_articles(fetched: DataFrame, parser_col: str = "parser",
         F.col("_a.source").alias("source"),
         pc.alias("parser_used"),
         *ai,
+        *key,
         *flag(news_ok, news_reason),
     )
     if analyze:
         weibo_ok = F.col("_a.ok").isNotNull()
-        weibo = fetched.where(pc == "weibo") \
-                       .withColumn("_a", parse_weibo_analyzed_udf(hc, uc))
+        if weibo_parsed is not None:
+            # single-pass path: the engine already ran
+            # parse_weibo_full_udf (article view + post fields in one
+            # Arrow round-trip) and cached the tiny output — reuse it
+            # here so weibo html crosses the Python boundary once.
+            # Must carry (url, parser, _a) and, when the main input
+            # has url_hash, that column too.
+            weibo = weibo_parsed
+        else:
+            weibo = fetched.where(pc == "weibo") \
+                           .withColumn("_a", parse_weibo_analyzed_udf(hc, uc))
         if not with_failures:
             weibo = weibo.where(weibo_ok)
         weibo = weibo.select(
@@ -290,6 +358,7 @@ def parse_articles(fetched: DataFrame, parser_col: str = "parser",
             F.col("_a.source").alias("source"),
             pc.alias("parser_used"),
             *ai,
+            *key,
             *flag(weibo_ok, F.lit("parse_failed")),
         )
     else:
@@ -308,12 +377,18 @@ def parse_articles(fetched: DataFrame, parser_col: str = "parser",
             F.lit(None).cast("string").alias("image"),
             U.extract_domain(uc).alias("source"),
             pc.alias("parser_used"),
+            *key,
             *flag(weibo_ok, F.lit("parse_failed")),
         )
     out = news.unionByName(weibo)
+    raw_hash = U.url_hash(F.col("url"))
+    if passthrough_key:
+        out = out.withColumnRenamed("_sched_url_hash", "url_hash")
+    else:
+        out = out.withColumn("url_hash", raw_hash)
     return (
         out
-        .withColumn("url_hash", U.url_hash(F.col("url")))
+        .withColumn("store_url_hash", raw_hash)
         .withColumn("content_hash",
                     F.when(F.col("content").isNotNull(),
                            U.content_hash(F.col("content"))))

@@ -18,8 +18,17 @@ counterpart — the reference stores no vectors). Two strategies:
   function of the data and the DuckDB oracle reproduces it exactly.
 
 Hyperplanes are pseudo-random but *arithmetically* derived (no RNG
-state) so the oracle reproduces them:  plane_p[d] =
-((p * DIM + d) * KNUTH mod 1000) / 999.5 - 1.0  in [-1, 1).
+state) so the oracle reproduces them. The sign-bit arithmetic is
+INTEGER-EXACT: plane coefficients are odd integers
+(2*((p*DIM+d)*KNUTH mod 1000) - 999 in [-999, 999]) and vectors are
+quantized as floor(v * 2^20), so the bit is the sign of an int64 sum —
+identical under ANY summation order. That frees the Spark side to
+compute all signatures in one Arrow-batched numpy matmul (the
+float-fold spelling cost ~2.4 s of interpreted higher-order exprs per
+2k vectors) while DuckDB folds sequentially, with zero cross-engine
+divergence risk. Quantization error (<=2^-20 per element against
+odd-integer planes) is orders of magnitude below the hash family's
+own noise floor.
 """
 
 from __future__ import annotations
@@ -29,12 +38,26 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import KNUTH
 
-N_PLANES = 12
-BAND_BITS = 4          # multi-probe: join on 4-bit bands of the signature
+N_PLANES = 20
+BAND_BITS = 5          # join on BAND_BITS-bit bands of the signature
+PROBE_RADIUS = 2       # query-side multi-probe: also join every band code
+                       # within this Hamming distance. Measured on the
+                       # sandbox embeddings (near-random vectors, the
+                       # hardest case for sublinear ANN): recall@5
+                       # 0.46 (12/4/r0) -> 0.82 (20/5/r2) at sf0.1, at
+                       # a candidate fraction of ~0.68 — the honest
+                       # trade on structure-free data; clustered real
+                       # embeddings hit the same recall far cheaper.
 
 
-def _plane(p: int, dim: int) -> list[float]:
-    return [((p * dim + d) * KNUTH % 1000) / 999.5 - 1.0 for d in range(dim)]
+QUANT = 1 << 20        # vector quantization scale for integer sign bits
+
+
+def _plane_int(p: int, dim: int) -> list[int]:
+    """Odd-integer plane coefficients in [-999, 999] (never 0) —
+    direction identical to the historical float planes (same affine
+    map), but the dot against quantized vectors is int64-exact."""
+    return [2 * ((p * dim + d) * KNUTH % 1000) - 999 for d in range(dim)]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -105,35 +128,90 @@ SELECT query_id, neighbor_id, rank, cosine_sim FROM scored WHERE rank <= {k}
 """
 
 
-def _signature(vec: Column, dim: int) -> Column:
-    """ARRAY<INT> of sign bits against the N_PLANES hyperplanes."""
-    bits = []
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _plane(p, dim)])
-        dv = F.transform(vec, lambda x: x.cast("double"))
-        bits.append(F.when(_dot(dv, plane) >= 0, 1).otherwise(0))
-    return F.array(*bits)
+_SIG_UDF_CACHE: dict = {}
+
+
+def _signature_udf(dim: int, n_planes: int):
+    """Arrow-batched signature kernel: all sign bits in one int64
+    matmul per batch. floor(v * 2^20) and the odd-integer planes make
+    the sum order-independent and |sum| < 2^37, so numpy's pairwise
+    matmul, DuckDB's sequential fold, and any cluster reduction agree
+    bit-for-bit — the exactness argument that lets the hot path leave
+    interpreted higher-order exprs (measured 2.4 s -> ~0.1 s per 2k
+    vectors)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    key = (dim, n_planes)
+    if key not in _SIG_UDF_CACHE:
+        P = np.array([_plane_int(p, dim) for p in range(n_planes)],
+                     dtype=np.int64).T              # dim x planes
+
+        def sig_kernel(vec):
+            if len(vec) == 0:
+                return pd.Series([], dtype=object)
+            V = np.stack(vec.to_numpy()).astype(np.float64)
+            Q = np.floor(V * QUANT).astype(np.int64)
+            bits = (Q @ P >= 0).astype(np.int32)
+            return pd.Series(list(bits))
+
+        _SIG_UDF_CACHE[key] = F.pandas_udf(
+            sig_kernel, ArrayType(IntegerType()))
+    return _SIG_UDF_CACHE[key]
+
+
+def _probe_flipsets(band_bits: int, radius: int) -> list[tuple[int, ...]]:
+    """All bit-position sets of size <= radius — the Hamming ball the
+    query side probes. radius=0 -> just the exact code."""
+    sets: list[tuple[int, ...]] = [()]
+    if radius >= 1:
+        sets += [(i,) for i in range(band_bits)]
+    if radius >= 2:
+        sets += [(i, j) for i in range(band_bits)
+                 for j in range(i + 1, band_bits)]
+    return sets
+
+
+def _probe_masks(band_bits: int, radius: int) -> list[int]:
+    """The flipsets as XOR masks over the integer band code (bit i of
+    the code sits at place band_bits-1-i), sorted for determinism."""
+    return sorted(sum(1 << (band_bits - 1 - i) for i in fs)
+                  for fs in _probe_flipsets(band_bits, radius))
 
 
 def lsh_signatures(df: DataFrame, dim: int, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   repartition: bool = True) -> DataFrame:
     """(id, sig ARRAY<INT>, bucket STRING) — map-only signature stage.
     Input repartitioned to cluster parallelism: small single-file
-    inputs would otherwise single-thread the hyperplane dot products."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sig = _signature(F.col(vec_col), dim)
+    inputs would otherwise single-thread the hyperplane dot products.
+    Pass repartition=False for a side that is small by contract (e.g.
+    the broadcast query set) — the shuffle would cost more than the
+    dots."""
+    if repartition:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sig = _signature_udf(dim, N_PLANES)(F.col(vec_col))
     return df.select(
         F.col(id_col), F.col(vec_col), sig.alias("sig"),
-        F.concat_ws("", *[F.element_at(sig, i + 1).cast("string")
-                          for i in range(N_PLANES)]).alias("bucket"))
+    ).withColumn(
+        "bucket",
+        F.concat_ws("", *[F.element_at(F.col("sig"), i + 1).cast("string")
+                          for i in range(N_PLANES)]))
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             probe_radius: int = PROBE_RADIUS) -> DataFrame:
     """ANN top-k: candidates share at least one BAND_BITS-bit band of
-    the hyperplane signature (multi-probe banding — recall knob), then
-    exact cosine re-rank. Join key is (band_idx, band_bits): uniform,
-    shuffle-friendly, no cross join anywhere.
+    the hyperplane signature, with QUERY-side Hamming multi-probe —
+    each query band also joins every code within ``probe_radius`` bit
+    flips (the recall knob; the flip variants are built statically at
+    plan time, so the corpus side stays one exact code per band and
+    the index is unchanged). Then exact cosine re-rank. Join key is
+    (band_idx, band_bits): uniform, shuffle-friendly, no cross join
+    anywhere; multi-probe multiplies only the QUERY side's band rows
+    (x sum(C(band_bits, r)) for r <= radius), never the corpus.
 
     Shuffle discipline: the band join and the candidate `distinct()`
     carry ONLY ids — vectors would otherwise cross the wire once per
@@ -144,21 +222,40 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     on neighbor_id."""
     n_bands = N_PLANES // BAND_BITS
 
-    def banded(df: DataFrame, role: str) -> DataFrame:
-        s = lsh_signatures(df, dim, id_col, vec_col)
-        return s.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.posexplode(F.array(*[
-                F.concat_ws("", *[
-                    F.element_at(F.col("sig"), b * BAND_BITS + i + 1)
-                    .cast("string") for i in range(BAND_BITS)])
-                for b in range(n_bands)
-            ])).alias("band_idx", "band_bits"))
+    def banded(df: DataFrame, role: str, radius: int = 0) -> DataFrame:
+        # INTEGER band codes (shift-add over the sig bits) + XOR probe
+        # masks: the whole band stage is a handful of small int exprs,
+        # so it stays inside whole-stage codegen — the string-concat
+        # spelling of the 64 probe variants blew the 64 KB codegen
+        # limit and dropped the stage to interpreted mode.
+        # repartition=False on BOTH sides: signatures are one numpy
+        # matmul per Arrow batch, so the work per row is trivial and a
+        # real warehouse scan already has file-level parallelism — the
+        # explicit exchange only made sense when each signature cost 20
+        # interpreted folds (measured: dropping it cut ~1.3 s of the
+        # sf0.1 wall, and the first downstream shuffle re-spreads
+        # anyway).
+        s = lsh_signatures(df, dim, id_col, vec_col, repartition=False)
+        codes = []
+        for b in range(n_bands):
+            code = F.lit(0)
+            for i in range(BAND_BITS):
+                code = code * 2 + F.element_at(F.col("sig"),
+                                               b * BAND_BITS + i + 1)
+            for m in _probe_masks(BAND_BITS, radius):
+                codes.append(F.struct(
+                    F.lit(b).alias("bi"),
+                    code.bitwiseXOR(F.lit(m)).alias("bk")))
+        return (s.select(F.col(id_col).alias(f"{role}_id"),
+                         F.explode(F.array(*codes)).alias("_c"))
+                .select(f"{role}_id",
+                        F.col("_c.bi").alias("band_idx"),
+                        F.col("_c.bk").alias("band_key")))
 
     # id-only candidate generation + dedup (narrow shuffles)
     cand = (
-        banded(queries, "query").join(banded(corpus, "neighbor"),
-                                      ["band_idx", "band_bits"])
+        banded(queries, "query", probe_radius)
+        .join(banded(corpus, "neighbor"), ["band_idx", "band_key"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -237,14 +334,16 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int,
 def embedding_near_dup_sql(table: str, dim: int, threshold: float = 0.9,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> str:
-    """DuckDB twin of embedding_near_dup_pairs (same planes/bands)."""
+    """DuckDB twin of embedding_near_dup_pairs (same planes/bands,
+    same int64-exact sign-bit arithmetic)."""
     n_bands = N_PLANES // BAND_BITS
 
     def dot_plane(vec: str, p: int) -> str:
-        plane = _plane(p, dim)
-        terms = " + ".join(f"{vec}[{d + 1}]::DOUBLE * ({plane[d]!r})"
-                           for d in range(dim))
-        return f"(0.0 + {terms})"
+        plane = _plane_int(p, dim)
+        terms = " + ".join(
+            f"floor({vec}[{d + 1}]::DOUBLE * {QUANT})::BIGINT "
+            f"* ({plane[d]})" for d in range(dim))
+        return f"(0 + {terms})"
 
     def bit(vec: str, p: int) -> str:
         return f"CASE WHEN {dot_plane(vec, p)} >= 0 THEN '1' ELSE '0' END"
@@ -278,37 +377,57 @@ WHERE {cos} >= {threshold}
 
 
 def lsh_topk_sql(q_table: str, c_table: str, dim: int, k: int = 5,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> str:
-    """DuckDB twin of lsh_topk (same planes, bands, re-rank)."""
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 probe_radius: int = PROBE_RADIUS) -> str:
+    """DuckDB twin of lsh_topk (same planes, bands, query-side Hamming
+    multi-probe, re-rank). Sign bits are computed ONCE per vector in a
+    sig CTE; the probe variants just flip precomputed bit columns, so
+    the SQL stays compact at any radius."""
     n_bands = N_PLANES // BAND_BITS
 
     def dot_plane(vec: str, p: int) -> str:
-        plane = _plane(p, dim)
-        terms = " + ".join(f"{vec}[{d + 1}]::DOUBLE * ({plane[d]!r})"
-                           for d in range(dim))
-        return f"(0.0 + {terms})"
+        plane = _plane_int(p, dim)
+        terms = " + ".join(
+            f"floor({vec}[{d + 1}]::DOUBLE * {QUANT})::BIGINT "
+            f"* ({plane[d]})" for d in range(dim))
+        return f"(0 + {terms})"
 
     def bit(vec: str, p: int) -> str:
-        return f"CASE WHEN {dot_plane(vec, p)} >= 0 THEN '1' ELSE '0' END"
+        return f"CASE WHEN {dot_plane(vec, p)} >= 0 THEN 1 ELSE 0 END"
 
-    def band_rows(table: str, role: str) -> str:
-        sels = []
-        for b in range(n_bands):
-            key = " || ".join(bit(vec_col, b * BAND_BITS + i)
-                              for i in range(BAND_BITS))
-            sels.append(
-                f"SELECT {id_col} AS {role}_id, {vec_col} AS {role}_v, "
-                f"{b} AS band_idx, {key} AS band_bits FROM {table}")
-        return " UNION ALL ".join(sels)
+    def sig_cols() -> str:
+        return ", ".join(f"{bit(vec_col, p)} AS b{p}"
+                         for p in range(N_PLANES))
 
-    cos = cosine_sql("query_v", "neighbor_v", dim)
+    def band_code(b: int) -> str:
+        return "(" + " + ".join(
+            f"b{b * BAND_BITS + i} * {1 << (BAND_BITS - 1 - i)}"
+            for i in range(BAND_BITS)) + ")"
+
+    masks = ", ".join(str(m) for m in
+                      _probe_masks(BAND_BITS, probe_radius))
+    # probe variants via ONE mask unnest per band (not a UNION branch
+    # per (band, mask) — 64 branches made DuckDB's planner the
+    # bottleneck)
+    qb = " UNION ALL ".join(
+        f"SELECT query_id, {b} AS band_idx, "
+        f"xor({band_code(b)}, mm.m) AS band_key "
+        f"FROM qsig CROSS JOIN (SELECT unnest([{masks}]) AS m) mm"
+        for b in range(n_bands))
+    cb = " UNION ALL ".join(
+        f"SELECT neighbor_id, {b} AS band_idx, "
+        f"{band_code(b)} AS band_key FROM csig"
+        for b in range(n_bands))
+    cos = cosine_sql(f"q.{vec_col}", f"c.{vec_col}", dim)
     return f"""
-WITH qb AS ({band_rows(q_table, 'query')}),
-cb AS ({band_rows(c_table, 'neighbor')}),
+WITH qsig AS (SELECT {id_col} AS query_id, {sig_cols()} FROM {q_table}),
+csig AS (SELECT {id_col} AS neighbor_id, {sig_cols()} FROM {c_table}),
+qb AS ({qb}),
+cb AS ({cb}),
 cand AS (
-  SELECT DISTINCT query_id, neighbor_id, query_v, neighbor_v
+  SELECT DISTINCT query_id, neighbor_id
   FROM qb JOIN cb ON qb.band_idx = cb.band_idx
-                 AND qb.band_bits = cb.band_bits
+                 AND qb.band_key = cb.band_key
   WHERE query_id != neighbor_id
 ),
 scored AS (
@@ -316,6 +435,8 @@ scored AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY {cos} DESC, neighbor_id ASC) AS rank
   FROM cand
+  JOIN {q_table} q ON q.{id_col} = cand.query_id
+  JOIN {c_table} c ON c.{id_col} = cand.neighbor_id
 )
 SELECT query_id, neighbor_id, rank, cosine_sim FROM scored WHERE rank <= {k}
 """
@@ -326,18 +447,28 @@ SELECT query_id, neighbor_id, rank, cosine_sim FROM scored WHERE rank <= {k}
 # ---------------------------------------------------------------------------
 
 NLIST = 16             # cells; scale as ~sqrt(N) on a real corpus
-NPROBE = 4             # cells probed per query — the recall knob
+NPROBE = 10            # cells probed per query — the recall knob.
+                       # Measured on the sandbox embeddings (near-
+                       # random vectors): recall@5 0.52 (nprobe=4) ->
+                       # 0.88 (nprobe=10) at sf0.1, re-rank touching
+                       # ~nprobe/nlist = 62% of the corpus — the price
+                       # of recall on structure-free data; on clustered
+                       # real embeddings the same recall needs far
+                       # fewer probes (the knob, not the architecture).
 PIVOT_MOD = 1_000_003  # hash-systematic pivot selection modulus
 
 
 def _pivot_key(id_col: Column) -> Column:
-    """Deterministic pivot-selection key: (id * KNUTH) % PIVOT_MOD.
-    Plain integer arithmetic (no engine-specific hash) so the DuckDB
-    twin computes the identical ordering. Domain note: ids must stay
-    below ~3.4e9 to avoid 64-bit overflow in the multiply; at larger
-    id spaces switch the key to pmod(id, PIVOT_MOD) * KNUTH % ... on
-    pre-bucketed ids (documented, not needed at sandbox scale)."""
-    return F.pmod(id_col.cast("long") * F.lit(KNUTH), F.lit(PIVOT_MOD))
+    """Deterministic pivot-selection key:
+    (pmod(id, PIVOT_MOD) * KNUTH) % PIVOT_MOD. Plain integer
+    arithmetic (no engine-specific hash) so the DuckDB twin computes
+    the identical ordering. The id is reduced mod PIVOT_MOD BEFORE the
+    multiply so the product stays < 2^52 for any int64 id — no
+    overflow divergence between Spark (wrapping pmod) and DuckDB
+    (raising %) at large id spaces (round-3 ADVICE)."""
+    return F.pmod(
+        F.pmod(id_col.cast("long"), F.lit(PIVOT_MOD)) * F.lit(KNUTH),
+        F.lit(PIVOT_MOD))
 
 
 def _fold_dot(a: list[float], b: list[float]) -> float:
@@ -384,7 +515,12 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def with_cells(df: DataFrame, role: str) -> DataFrame:
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        if role == "neighbor":
+            # only the corpus side needs the parallelism spread; the
+            # query side is small by contract and broadcast below — a
+            # repartition there is a pure extra stage
+            df = df.repartition(
+                df.sparkSession.sparkContext.defaultParallelism)
         df = df.select(F.col(id_col).alias(f"{role}_id"),
                        dv.alias(f"_{role}v"))
         df = df.withColumn(f"_{role}n",
@@ -437,7 +573,7 @@ def ivf_topk_sql(q_table: str, c_table: str, dim: int, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  nlist: int = NLIST, nprobe: int = NPROBE) -> str:
     """DuckDB twin of ivf_topk (same pivots, assignment, probes)."""
-    key = f"({id_col} * {KNUTH}) % {PIVOT_MOD}"
+    key = f"((({id_col} % {PIVOT_MOD}) * {KNUTH}) % {PIVOT_MOD})"
     cos_cp = cosine_sql(f"c.{vec_col}", "p.pv", dim)
     cos_qp = cosine_sql(f"q.{vec_col}", "p.pv", dim)
     cos_qn = cosine_sql("qv", "nv", dim)

@@ -170,6 +170,11 @@ class CrawlConfig:
     # article versions; content_history classifies them
     # updated/duplicate against the latest stored hash.
     recrawl_ttl: int | None = None
+    # debug/test hook: capture the formatted physical plan of each
+    # round's fetch joins into engine.captured_plans[round] — used by
+    # the bucketed-warehouse crawl test to assert the pages corpus is
+    # never shuffled by the round loop. No effect on execution.
+    capture_plans: bool = False
 
     def order_by(self) -> list:
         if self.order == "priority":
@@ -191,6 +196,7 @@ class CrawlEngine:
         # driver-side materializations (collect/count) in the last
         # run_round call — the job-barrier budget tests assert on this
         self.last_round_collects = 0
+        self.captured_plans: dict[int, dict[str, str]] = {}
 
     def _budget_cap(self) -> int:
         """A literal upper bound on every host's politeness budget —
@@ -388,6 +394,13 @@ class CrawlEngine:
             _bcast(sched_parse), "url", "inner")
         discover_rows = self.pages.select("url", "html").join(
             _bcast(sched_discover), "url", "inner")
+        if cfg.capture_plans:
+            jvm = self.spark.sparkContext._jvm
+            self.captured_plans[r] = {
+                name: jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted")
+                for name, df in (("fetched", fetched),
+                                 ("parse_rows", parse_rows))}
 
         # P3/P1: parser dispatch + parse. Reference routing parses only
         # label='PARSE' rows (routes.py:61-100); label-null rows are
@@ -403,24 +416,34 @@ class CrawlEngine:
         # Rejected rows are derived AFTER the write from key arithmetic
         # (fetched parse keys ANTI written article keys) — no second
         # UDF pass, no cache; see quarantine below.
-        articles = HY.with_store_columns(
-            P.parse_articles(parse_eff, analyze=True), r
-        ).withColumn("round", F.lit(r))
         # WeiboPost is a distinct schema in the reference (weibo.py:15-24
-        # incl. engagement metrics); persist it as its own table. The
-        # weibo subset is tiny (~5% of pages) so the re-parse is noise.
-        weibo_posts = (
+        # incl. engagement metrics) persisted as its own table, but weibo
+        # html crosses the Arrow boundary ONCE: the full-struct fused UDF
+        # emits the article view AND the post fields together, html is
+        # dropped before the cache (the cached rows are ~KBs of text, not
+        # payloads), and both the articles union and the weibo_posts
+        # write read the cached result.
+        weibo_full = (
             parse_eff.where(F.col("parser") == "weibo")
-            .withColumn("_w", P.parse_weibo_udf(F.col("html"), F.col("url")))
-            .where(F.col("_w.ok").isNotNull())
+            .select("url", "url_hash", "parser",
+                    P.parse_weibo_full_udf(F.col("html"),
+                                           F.col("url")).alias("_a"))
+            .cache()
+        )
+        articles = HY.with_store_columns(
+            P.parse_articles(parse_eff, analyze=True,
+                             weibo_parsed=weibo_full), r
+        ).withColumn("round", F.lit(r))
+        weibo_posts = (
+            weibo_full.where(F.col("_a.ok").isNotNull())
             .select(
                 F.col("url"),
-                F.col("_w.id").alias("id"),
-                F.col("_w.author").alias("author"),
-                F.col("_w.content").alias("content"),
-                F.col("_w.likes").alias("likes"),
-                F.col("_w.reposts").alias("reposts"),
-                F.col("_w.comments").alias("comments"),
+                F.col("_a.post_id").alias("id"),
+                F.col("_a.author").alias("author"),
+                F.col("_a.content").alias("content"),
+                F.col("_a.likes").alias("likes"),
+                F.col("_a.reposts").alias("reposts"),
+                F.col("_a.comments").alias("comments"),
             ).withColumn("round", F.lit(r))
         )
 
@@ -807,7 +830,7 @@ class CrawlEngine:
             base_snapshot_id=bs.get("round_metrics", -1))
         self.catalog.commit_round(r, snaps)
         for df in (scheduled, fetched, children, blocked, fresh_frontier,
-                   trans, deduped, recrawl_cohort):
+                   trans, deduped, recrawl_cohort, weibo_full):
             if df is not None:
                 df.unpersist()
         _mark("t_metrics")

@@ -11,6 +11,13 @@ compatible output partitioning, so the Exchange on both sides is
 elided — verified by ``tests/test_sharding.py::TestBucketedJoin``
 asserting the physical plan has zero ShuffleExchange).
 
+Sort elision requires TWO preconditions (both handled here/at the call
+site): the writer lays out one file per bucket (repartition by the
+bucket hash before bucketBy), and the session sets
+``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` — Spark 3+
+stopped propagating bucketed sortBy ordering by default, so without
+the conf every bucketed join silently re-sorts the stored side.
+
 Local-mode caveat (documented, not hidden): Spark persists bucketing
 metadata through ``saveAsTable``; with the sandbox's in-memory catalog
 the table registration is session-scoped while the files persist at
@@ -28,8 +35,16 @@ def write_bucketed(df: DataFrame, name: str, path: str,
                    mode: str = "overwrite") -> None:
     """Write ``df`` hash-bucketed (and in-bucket sorted) by ``key``.
     Sorting by the join key lets the sort-merge join skip its sort on
-    the stored side entirely (plan shows no Sort below the scan)."""
-    (df.write.mode(mode)
+    the stored side entirely (plan shows no Sort below the scan) — but
+    Spark only trusts the sortBy metadata when each bucket is ONE
+    file, so the writer first co-locates each bucket's rows in one
+    task (repartition by the same hash the bucketing uses). This is
+    also the at-scale layout discipline: bucketBy from arbitrarily
+    partitioned input writes files-per-bucket x tasks small files."""
+    from pyspark.sql import functions as F
+
+    (df.repartition(n_buckets, F.col(key))
+     .write.mode(mode)
      .bucketBy(n_buckets, key)
      .sortBy(key)
      .option("path", path)
