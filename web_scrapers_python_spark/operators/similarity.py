@@ -44,10 +44,11 @@ PROBE_RADIUS = 2       # query-side multi-probe: also join every band code
                        # within this Hamming distance. Measured on the
                        # sandbox embeddings (near-random vectors, the
                        # hardest case for sublinear ANN): recall@5
-                       # 0.46 (12/4/r0) -> 0.82 (20/5/r2) at sf0.1, at
-                       # a candidate fraction of ~0.68 — the honest
+                       # 0.46 (12/4/r0) -> 0.94 (20/5/r2) at sf0.1, at
+                       # a candidate fraction of ~0.83 — the honest
                        # trade on structure-free data; clustered real
-                       # embeddings hit the same recall far cheaper.
+                       # embeddings hit the same recall far cheaper
+                       # (knob curve: tools/ann_sweep.py).
 
 
 QUANT = 1 << 20        # vector quantization scale for integer sign bits
