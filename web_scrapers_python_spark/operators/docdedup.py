@@ -486,6 +486,21 @@ def star_components(sym: DataFrame, max_iters: int = 50) -> DataFrame:
                                F.col("doc_id")).alias("cluster_id")))
 
 
+def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b") -> DataFrame:
+    """``dup_clusters`` forced through the large-star/small-star path
+    unconditionally (no min-label attempt first). Same input contract
+    (pairwise dup edges) and same output contract (doc_id, cluster_id =
+    component-min doc id), so ``dup_clusters_sql`` is its oracle too —
+    exposed as its own query so the O(log^2 n) scale path is verified
+    end-to-end against DuckDB on real pair data, not only via the
+    escalation branch and synthetic pytest graphs."""
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return star_components(sym)
+
+
 def dup_clusters_sql(pairs_sql: str, id_a: str = "id_a",
                      id_b: str = "id_b") -> str:
     """DuckDB twin of dup_clusters: transitive closure by recursive CTE
