@@ -542,6 +542,21 @@ class TestDupClusters:
                      100: 100, 101: 100, 102: 100, 103: 100})
         assert got == want
 
+    def test_star_wrapper_matches_min_label(self, spark):
+        """dup_clusters_star (pairs-in contract) == dup_clusters on the
+        same edge set — the two paths are interchangeable resolutions."""
+        from web_scrapers_python_spark.operators.docdedup import (
+            dup_clusters, dup_clusters_star)
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (21, 20),
+             (30, 31), (31, 32), (32, 33), (33, 34)],
+            "id_a long, id_b long")
+        a = {(r["doc_id"], r["cluster_id"])
+             for r in dup_clusters(pairs).collect()}
+        b = {(r["doc_id"], r["cluster_id"])
+             for r in dup_clusters_star(pairs).collect()}
+        assert a == b and len(a) == 13
+
 
 class TestStreamingDedup:
     def test_stateful_first_seen_matches_batch(self, spark, tmp_path):
