@@ -488,11 +488,14 @@ def main() -> None:
         scaling_1v4 = None
         try:
             import glob
+            # newest by mtime, not filename: lexicographic order breaks
+            # on round-number drift (r9 -> r10) — round-4 ADVICE
             cands = sorted(glob.glob(os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_SCALING_1v4*.json")))
+                "BENCH_SCALING_1v4*.json")), key=os.path.getmtime)
             if cands:
-                s = json.load(open(cands[-1]))["scaling"]
+                with open(cands[-1]) as f:
+                    s = json.load(f)["scaling"]
                 scaling_1v4 = {
                     "efficiency_median": s["efficiency"],
                     "per_repeat": s.get("efficiency_per_repeat"),

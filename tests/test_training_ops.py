@@ -141,6 +141,28 @@ class TestNgramJaccard:
         for r in pairs:
             assert blocks[r["id_a"]] == blocks[r["id_b"]]
 
+    def test_block_guard_raises_on_pathological_block(self, spark):
+        """One boilerplate-heavy block over max_block_docs must fail
+        LOUDLY at execution instead of running all-pairs inside the
+        block (round-4 VERDICT item 4). The guard is in-plan
+        (assert_true on the broadcast block-size frame), so no eager
+        driver count is paid on the happy path."""
+        rows = [(i, "shared boilerplate prefix " + str(i), "blk")
+                for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        q = DD.ngram_jaccard_pairs(df, top_k=5, max_block_docs=10)
+        with pytest.raises(Exception, match="max_block_docs"):
+            q.collect()
+
+    def test_block_guard_passes_under_cap(self, spark):
+        rows = [(i, "abcdefghijklm" + str(i), "blk") for i in range(5)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = DD.ngram_jaccard_pairs(df, top_k=50,
+                                     max_block_docs=5).collect()
+        assert len(out) > 0          # guard at exactly the cap: passes
+
 
 @pytest.fixture(scope="module")
 def embeddings(spark):

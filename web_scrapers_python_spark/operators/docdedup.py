@@ -310,16 +310,49 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
 # N-gram Jaccard (blocked pairwise)
 # ---------------------------------------------------------------------------
 
+MAX_BLOCK_DOCS = 10_000
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", block_col: str = "source",
-                        top_k: int = 20) -> DataFrame:
+                        top_k: int = 20,
+                        max_block_docs: int = MAX_BLOCK_DOCS) -> DataFrame:
     """Exact char-7-gram Jaccard for all pairs within a blocking key
     (e.g. same source/host) — the quadratic stays inside blocks.
-    Returns the global top-k most-similar pairs (deterministic order)."""
+    Returns the global top-k most-similar pairs (deterministic order).
+
+    100 TB contract made explicit: this is the EXACT tool, and one
+    pathological block (every doc sharing a boilerplate prefix) would
+    re-create all-pairs inside it. ``max_block_docs`` caps block size
+    with a LOUD in-plan failure — a broadcast-joined ``assert_true``
+    gate on the shingle frame, so the self-join's input cannot leave
+    the scan without passing the guard, no extra driver action, no
+    eager count. Oversized blocks are a modeling error (pick a finer
+    blocking key, or use minhash/simhash for that corpus), not
+    something to silently grind through."""
+    blk_guard = (
+        df.groupBy(F.col(block_col).alias("_blk"))
+        .agg(F.count("*").alias("_n_docs"))
+        .select(
+            "_blk",
+            F.assert_true(
+                F.col("_n_docs") <= F.lit(max_block_docs),
+                F.concat(
+                    F.lit("ngram_jaccard_pairs: block '"),
+                    F.col("_blk").cast("string"),
+                    F.lit(f"' holds "), F.col("_n_docs").cast("string"),
+                    F.lit(f" docs > max_block_docs={max_block_docs}; "
+                          "all-pairs inside one block would be "
+                          "quadratic — use a finer blocking key or "
+                          "minhash/simhash for this corpus"),
+                )).alias("_chk"))
+    )
     shing = _spread(df).select(
         F.col(block_col).alias("_blk"), F.col(id_col).alias("_id"),
         F.explode(H.char_shingles(H.normalize_text(F.col(text_col)),
-                                  SHINGLE_K)).alias("_sh"))
+                                  SHINGLE_K)).alias("_sh")) \
+        .join(F.broadcast(blk_guard), "_blk") \
+        .where(F.col("_chk").isNull()).drop("_chk")
     sizes = shing.groupBy("_blk", "_id").agg(F.count("*").alias("_n"))
     # co-occurrence join on (block, shingle): only pairs that share at
     # least one shingle materialize (jaccard-0 pairs never exist), and
@@ -494,11 +527,14 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = "id_a",
     component-min doc id), so ``dup_clusters_sql`` is its oracle too —
     exposed as its own query so the O(log^2 n) scale path is verified
     end-to-end against DuckDB on real pair data, not only via the
-    escalation branch and synthetic pytest graphs."""
-    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = sym.unionByName(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return star_components(sym)
+    escalation branch and synthetic pytest graphs.
+
+    No pre-symmetrization: star_components canonicalizes edges via
+    least/greatest and collects vertices from both columns, so a
+    reversed-edge union would only double the pre-distinct edge frame
+    (round-4 ADVICE)."""
+    return star_components(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
 
 
 def dup_clusters_sql(pairs_sql: str, id_a: str = "id_a",
