@@ -611,6 +611,58 @@ class TestStreamingDedup:
         assert g == w
         assert len(g) == 150
 
+    def _write_batches(self, spark, df, src):
+        import time as _t
+        for lo in range(0, 400, 100):
+            df.where((F.col("seq") >= lo) & (F.col("seq") < lo + 100)) \
+              .coalesce(1).write.mode("append").parquet(src)
+            _t.sleep(1.1)
+
+    def test_bloom_state_matches_batch(self, spark, tmp_path):
+        """The 10^10 state layout (serialized bloom + bounded exact
+        suffix, round-4 VERDICT item 3) == batch first-wins on the same
+        event stream. fp_rate=1e-6 at 150 keys: the bloom contributes
+        zero false drops here (deterministic given the fixed sha256
+        hash family), so equality is exact."""
+        from web_scrapers_python_spark.operators.dedup import first_wins
+        from web_scrapers_python_spark.streaming.dedup import (
+            EVENT_SCHEMA, run_stream_dedup)
+        rows = [(f"h{i % 150:03d}", f"https://x.test/{i % 150}",
+                 (i % 150) % 8, i) for i in range(400)]
+        df = spark.createDataFrame(rows, EVENT_SCHEMA)
+        src = str(tmp_path / "events_b")
+        self._write_batches(spark, df, src)
+        got = run_stream_dedup(spark, src, "stream_dedup_bloom_t",
+                               str(tmp_path / "ckpt_b"), variant="bloom",
+                               capacity=10_000, fp_rate=1e-6)
+        want = first_wins(df, "url_hash", "seq")
+        g = {(r["url_hash"], r["seq"]) for r in got.collect()}
+        w = {(r["url_hash"], r["seq"]) for r in want.collect()}
+        assert g == w and len(g) == 150
+
+    def test_bloom_dups_beyond_suffix_window_still_dropped(
+            self, spark, tmp_path):
+        """suffix_len=4 — far smaller than the 150-key working set — so
+        most duplicates arrive AFTER their key left the exact suffix.
+        The bloom has no false negatives, so first-wins still holds
+        exactly: the suffix is an exact fast path, never a correctness
+        dependency for dup-dropping."""
+        from web_scrapers_python_spark.operators.dedup import first_wins
+        from web_scrapers_python_spark.streaming.dedup import (
+            EVENT_SCHEMA, run_stream_dedup)
+        rows = [(f"h{i % 150:03d}", f"https://x.test/{i % 150}",
+                 (i % 150) % 8, i) for i in range(400)]
+        df = spark.createDataFrame(rows, EVENT_SCHEMA)
+        src = str(tmp_path / "events_sfx")
+        self._write_batches(spark, df, src)
+        got = run_stream_dedup(spark, src, "stream_dedup_sfx_t",
+                               str(tmp_path / "ckpt_sfx"), variant="bloom",
+                               capacity=10_000, fp_rate=1e-6, suffix_len=4)
+        want = first_wins(df, "url_hash", "seq")
+        g = {(r["url_hash"], r["seq"]) for r in got.collect()}
+        w = {(r["url_hash"], r["seq"]) for r in want.collect()}
+        assert g == w and len(g) == 150
+
 
 class TestSequencerProperties:
     """Property tests for the frozen-bucket global sequencer — ranks
