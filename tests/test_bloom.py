@@ -80,3 +80,24 @@ class TestIncrementalBloom:
         want = sorted(r["url_hash"] for r in
                       D.anti_join_seen(cand, seen).collect())
         assert got == want
+
+    def test_flag_mode_marks_instead_of_filtering(self, spark):
+        """flag_col mode: every candidate row survives exactly once
+        (even when the seen EVENT LOG repeats a key) and the flag
+        partition reproduces the filtering composite exactly — with
+        and without bloom filters."""
+        # seen log with duplicate events per key (insert + fetch)
+        seen = _keys_df(spark, [(i % 4, f"s{i}") for i in range(100)] * 2)
+        cand = _keys_df(spark, [(i % 4, f"s{i}") for i in range(50, 150)]
+                        + [(9, "brand-new")])
+        want_fresh = sorted(r["url_hash"] for r in
+                            D.anti_join_seen(cand, seen).collect())
+        want_all = sorted(r["url_hash"] for r in cand.collect())
+        for filters in (None,
+                        D.build_bloom_filters(
+                            seen.distinct(), capacity=64)):  # FP-prone
+            marked = D.dedup_against_seen(cand, seen, filters,
+                                          flag_col="_fresh").collect()
+            assert sorted(r["url_hash"] for r in marked) == want_all
+            assert sorted(r["url_hash"] for r in marked
+                          if r["_fresh"]) == want_fresh

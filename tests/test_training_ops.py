@@ -698,6 +698,33 @@ class TestSequencerProperties:
         got = {r["k"]: r["seq"] for r in out.collect()}
         assert got == {k: i for i, k in enumerate(sorted(keys))}
 
+    def test_gated_planning_stats(self, spark):
+        """gate_col fuses a filter into the planning pass: only gated
+        rows are sequenced (dense over the GATED key order), while the
+        returned stats count ALL rows and union the set_col values —
+        the crawl engine's links-discovered fusion contract."""
+        from web_scrapers_python_spark.operators.sequence import (
+            assign_global_seq)
+        rows = [(k, k % 3 != 0, k % 7) for k in range(500)]
+        df = spark.createDataFrame(
+            rows, "k long, fresh boolean, host_bucket int").repartition(5)
+        out, stats = assign_global_seq(df, ["k"], start=11,
+                                       gate_col="fresh",
+                                       set_col="host_bucket")
+        gated = sorted(k for k, f, _ in rows if f)
+        got = {r["k"]: r["seq"] for r in out.collect()}
+        assert got == {k: 11 + i for i, k in enumerate(gated)}
+        assert "fresh" not in out.columns
+        assert stats == {"n": len(gated), "n_all": len(rows),
+                         "set": set(range(7))}
+        # all-false gate: no sequencing pass, stats still total
+        out0, stats0 = assign_global_seq(
+            df.withColumn("fresh", F.lit(False)), ["k"], start=11,
+            gate_col="fresh", set_col="host_bucket")
+        assert out0.count() == 0
+        assert stats0 == {"n": 0, "n_all": len(rows),
+                          "set": set(range(7))}
+
     def test_reevaluation_stability_with_downstream_ops(self, spark):
         from web_scrapers_python_spark.operators.sequence import (
             assign_global_seq)

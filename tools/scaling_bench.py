@@ -165,7 +165,8 @@ def run_level(cpus: int, pages_path: str, workdir: str, cfg: dict) -> dict:
             "cpus": cpus,
             "rounds": [
                 {k: v for k, v in m.items() if not k.startswith("_")}
-                | {"timings": m.get("_timings", {})}
+                | {"timings": m.get("_timings", {}),
+                   "driver_collects": m.get("_collects")}
                 for m in metrics
             ],
             "urls_scheduled": scheduled,

@@ -174,16 +174,49 @@ def merge_bloom_filters(filters: DataFrame, new_keys: DataFrame,
 def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
                        filters: DataFrame | None = None,
                        key: str = "url_hash",
-                       bucket_col: str = "host_bucket") -> DataFrame:
+                       bucket_col: str = "host_bucket",
+                       flag_col: str | None = None) -> DataFrame:
     """J1 at scale: bloom split, then exact anti-join on suspects only.
 
     A bloom miss proves the key was never seen → the row bypasses the
     expensive anti-join entirely. A bloom hit (true hit or FP) goes
     through the exact anti-join, which removes every truly-seen row.
     The composite is therefore exactly the reference's exact dedup for
-    ANY filter content — only the join's input volume changes."""
+    ANY filter content — only the join's input volume changes.
+
+    ``flag_col``: instead of filtering, return EVERY candidate row with
+    a boolean ``flag_col`` (true = unseen). Lets the caller keep one
+    cached frame serving both the fresh rows and the all-candidates
+    aggregates (the crawl engine fuses its links-discovered count into
+    the sequencer's planning pass this way). The confirmed-hit key set
+    is O(round delta) — true dups plus bloom FPs — so the extra
+    distinct+left-join stays delta-sized; ``seen`` is still scanned
+    once (one pruned column) and never shuffled."""
+    if flag_col is not None:
+        return _flag_against_seen(candidates, seen, filters, key,
+                                  bucket_col, flag_col)
     if filters is None:
         return anti_join_seen(candidates, seen, key)
+    flagged = _bloom_maybe(candidates, filters, key, bucket_col)
+    definite_new = flagged.where(~F.col("_maybe")).drop("_maybe")
+    suspects = flagged.where(F.col("_maybe")).drop("_maybe")
+    # Exact check, seen-side-shuffle-free: a direct suspects-anti-seen
+    # would sort-merge BOTH sides — an O(seen) shuffle every round. The
+    # suspect set is round-delta-sized (true dups + bloom FPs), so flip
+    # it: stream the seen scan against the (AQE-broadcast-able) suspect
+    # key set to get the confirmed hits, then anti-join those back.
+    # seen is scanned (one pruned column) but never shuffled; no
+    # explicit broadcast hint, so an oversized suspect set degrades to
+    # SMJ instead of OOMing the driver.
+    hits = seen.select(key).join(suspects.select(key), key, "left_semi")
+    confirmed_new = suspects.join(hits, key, "left_anti")
+    return definite_new.unionByName(confirmed_new)
+
+
+def _bloom_maybe(candidates: DataFrame, filters: DataFrame,
+                 key: str, bucket_col: str) -> DataFrame:
+    """candidates + boolean ``_maybe`` (bloom hit or degraded bucket);
+    a false PROVES the key was never seen."""
     joined = candidates.join(F.broadcast(filters), bucket_col, "left")
 
     @F.pandas_udf(BooleanType())
@@ -206,23 +239,39 @@ def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
             out.append(hit)
         return pd.Series(out)
 
-    flagged = joined.withColumn(
+    return joined.withColumn(
         "_maybe",
         F.when(F.col("filter").isNull(), F.lit(False)).otherwise(
             maybe_seen(F.col(key), F.col("filter"), F.col("n_bits"),
                        F.col("n_hashes"))
         ),
     ).select(*candidates.columns, "_maybe")
-    definite_new = flagged.where(~F.col("_maybe")).drop("_maybe")
-    suspects = flagged.where(F.col("_maybe")).drop("_maybe")
-    # Exact check, seen-side-shuffle-free: a direct suspects-anti-seen
-    # would sort-merge BOTH sides — an O(seen) shuffle every round. The
-    # suspect set is round-delta-sized (true dups + bloom FPs), so flip
-    # it: stream the seen scan against the (AQE-broadcast-able) suspect
-    # key set to get the confirmed hits, then anti-join those back.
-    # seen is scanned (one pruned column) but never shuffled; no
-    # explicit broadcast hint, so an oversized suspect set degrades to
-    # SMJ instead of OOMing the driver.
-    hits = seen.select(key).join(suspects.select(key), key, "left_semi")
-    confirmed_new = suspects.join(hits, key, "left_anti")
-    return definite_new.unionByName(confirmed_new)
+
+
+def _flag_against_seen(candidates: DataFrame, seen: DataFrame,
+                       filters: DataFrame | None, key: str,
+                       bucket_col: str, flag_col: str) -> DataFrame:
+    """Flag-mode dedup: same split as dedup_against_seen, but seen rows
+    are MARKED (flag false) instead of dropped. The confirmed-hit set
+    (true dups + bloom FPs, O(round delta)) is distinct'd and LEFT-
+    joined back — distinct keeps the join from multiplying candidates
+    when the seen event log carries a key more than once."""
+    if filters is None:
+        suspects = candidates
+        definite_new = None
+    else:
+        flagged = _bloom_maybe(candidates, filters, key, bucket_col)
+        definite_new = flagged.where(~F.col("_maybe")).drop("_maybe")
+        suspects = flagged.where(F.col("_maybe")).drop("_maybe")
+    hits = (seen.select(key)
+            .join(suspects.select(key), key, "left_semi")
+            .distinct())
+    marked = (
+        suspects.join(hits.withColumn("_seen", F.lit(True)), key, "left")
+        .withColumn(flag_col, F.col("_seen").isNull())
+        .drop("_seen")
+    )
+    if definite_new is not None:
+        marked = definite_new.withColumn(
+            flag_col, F.lit(True)).unionByName(marked)
+    return marked

@@ -52,7 +52,9 @@ def _lex_ge(cols: list[Column], vals: tuple) -> Column:
 def assign_global_seq(df: DataFrame, order_by: list[str], start: int = 0,
                       out_col: str = "seq",
                       num_partitions: int | None = None,
-                      with_count: bool = False):
+                      with_count: bool = False,
+                      gate_col: str | None = None,
+                      set_col: str | None = None):
     """Add ``out_col`` = start + 0-based dense rank of the row in the
     global (order_by) ordering. order_by must be a unique, non-null
     composite key for determinism. The result is safe to re-evaluate
@@ -63,9 +65,24 @@ def assign_global_seq(df: DataFrame, order_by: list[str], start: int = 0,
     run their own count() save one job barrier (they add up: driver
     round-trips dominate short rounds, especially on real executors).
     Planning is two driver jobs total: one fused count+bound-sample
-    aggregate, one per-bucket count."""
+    aggregate, one per-bucket count.
+
+    ``gate_col`` fuses a caller-side filter INTO the planning pass:
+    only rows where the boolean ``gate_col`` is true are sequenced and
+    returned (the column is dropped), but the first planning job
+    aggregates over ALL input rows and the call returns ``(out,
+    stats)`` with ``stats = {"n": gated count, "n_all": total count,
+    "set": distinct set_col values over all rows}``. The crawl engine
+    uses this to fold its links-discovered count + touched-bucket set
+    (previously a separate job over the child frame) into the planning
+    barrier the sequencer pays anyway — one fewer driver round-trip per
+    discovery round on real executors. ``set_col`` values are
+    collect_set'd per input partition and unioned driver-side:
+    bounded at O(parts * |domain|) — fine for host_bucket (<= 1024
+    values), wrong for high-cardinality columns."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(c) for c in order_by]
+    gate = F.col(gate_col).cast("boolean") if gate_col is not None else None
 
     # one job: row count + deterministic BOUNDED key sample (no RNG, no
     # seed). The pmod filter thins to ~n/SAMPLE_MOD candidates; the
@@ -78,18 +95,39 @@ def assign_global_seq(df: DataFrame, order_by: list[str], start: int = 0,
     # valid sample yields the same final seq (bounds only choose the
     # bucketing; the numbering is fixed by the global key order).
     h = F.xxhash64(*keys)
-    part_stats = df.groupBy(F.spark_partition_id().alias("_pid")).agg(
-        F.count(F.lit(1)).alias("n"),
+    samp_cond = F.pmod(h, F.lit(SAMPLE_MOD)) == 0
+    if gate is not None:
+        samp_cond = gate & samp_cond
+    aggs = [
+        (F.count(F.when(gate, F.lit(1))) if gate is not None
+         else F.count(F.lit(1))).alias("n"),
         F.slice(
             F.array_sort(F.collect_list(
-                F.when(F.pmod(h, F.lit(SAMPLE_MOD)) == 0,
+                F.when(samp_cond,
                        F.struct(h.alias("_h"),
                                 F.struct(*keys).alias("_k"))))),
             1, SAMPLE_PER_PART).alias("sample"),
-    ).collect()
+    ]
+    if gate is not None:
+        aggs.append(F.count(F.lit(1)).alias("n_all"))
+        if set_col is not None:
+            aggs.append(F.collect_set(set_col).alias("_set"))
+    part_stats = df.groupBy(F.spark_partition_id().alias("_pid")).agg(
+        *aggs).collect()
     n = int(sum(r["n"] for r in part_stats))
+    stats = None
+    if gate is not None:
+        stats = {
+            "n": n,
+            "n_all": int(sum(r["n_all"] for r in part_stats)),
+            "set": ({v for r in part_stats for v in r["_set"]}
+                    if set_col is not None else set()),
+        }
+        df = df.where(F.col(gate_col)).drop(gate_col)
     if n == 0:
         out = df.withColumn(out_col, F.lit(start).cast("long"))
+        if gate is not None:
+            return out, stats
         return (out, 0) if with_count else out
     sample = sorted(tuple(s["_k"]) for r in part_stats for s in r["sample"])
     bounds: list[tuple] = []
@@ -139,4 +177,6 @@ def assign_global_seq(df: DataFrame, order_by: list[str], start: int = 0,
         .sortWithinPartitions("_bkt", *keys)
         .mapInPandas(number, schema)
     )
+    if gate is not None:
+        return out, stats
     return (out, n) if with_count else out

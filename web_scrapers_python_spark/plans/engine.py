@@ -295,6 +295,7 @@ class CrawlEngine:
             "frontier", bs["frontier"]).get("max_seq")
         if max_seq is None:      # pre-split warehouse fallback
             max_seq = frontier.agg(F.max("seq")).collect()[0][0] or 0
+            self.last_round_collects += 1
         _mark("t_read_state")
 
         # refresh cohort: the rows fetched exactly ttl rounds ago,
@@ -460,7 +461,7 @@ class CrawlEngine:
                     "seq", F.col("parent_seq") * 1024 + F.col("pos")
                 ),
                 "url_hash", "seq",
-            ).cache()
+            )
             # Seen-filter maintenance is INCREMENTAL: the per-bucket
             # blooms come from the previous complete round's snapshot
             # (same round tag as the seen log they summarize —
@@ -480,13 +481,28 @@ class CrawlEngine:
                         capacity=cfg.bloom_capacity)
             # cached: the sequencer's planning passes (count / bound
             # sample / bucket counts) and the final consumers all read
-            # the dedup output — one evaluation of the anti-join chain
-            deduped = D.dedup_against_seen(children, seen, filters) \
+            # the flag-dedup output — one evaluation of the anti-join
+            # chain. Flag mode keeps EVERY child row (seen rows marked
+            # _fresh=false) so the links-discovered count and the child
+            # bucket set fall out of the sequencer's planning job — the
+            # separate children.agg barrier is gone (one fewer driver
+            # round-trip per discovery round on real executors).
+            deduped = D.dedup_against_seen(children, seen, filters,
+                                           flag_col="_fresh") \
                        .drop("seq").cache()
-            fresh, n_fresh = assign_global_seq(
+            fresh, plan_stats = assign_global_seq(
                 deduped, ["parent_seq", "pos"], start=max_seq + 1,
-                with_count=True,
+                gate_col="_fresh", set_col="host_bucket",
             )
+            # the sequencer's two internal planning jobs (fused
+            # count+sample+links-stats, per-bucket counts) ARE driver
+            # barriers — count them so _collects is the round's true
+            # job-barrier tally, not just the engine's own collects
+            self.last_round_collects += 2 if plan_stats["n"] else 1
+            n_fresh = plan_stats["n"]
+            n_children = plan_stats["n_all"]
+            child_buckets = {int(b) for b in plan_stats["set"]}
+            touched_buckets |= child_buckets
             # cached: consumed 2x (pending union + seen inserts); its
             # row count fell out of the sequencer's planning pass
             fresh_frontier = fresh.select(
@@ -498,21 +514,6 @@ class CrawlEngine:
         else:
             fresh_frontier = self.spark.createDataFrame([], frontier.schema)
             n_fresh = 0
-
-        # links_discovered count + fresh buckets in one agg over the
-        # cached children (collect_set partial-aggregates map-side, so
-        # only <= n_buckets values shuffle). Fresh rows can land in ANY
-        # bucket; their buckets join the touched set so the frontier
-        # commit below includes them.
-        if children is not None:
-            crow = children.agg(
-                F.count("*").alias("n"),
-                F.collect_set("host_bucket").alias("bk")).collect()[0]
-            self.last_round_collects += 1
-            n_children = int(crow["n"])
-            child_buckets = {int(b) for b in crow["bk"]}
-            touched_buckets |= child_buckets
-        else:
             n_children, child_buckets = 0, set()
 
         # frontier state transitions, computed over the TOUCHED buckets
@@ -829,7 +830,7 @@ class CrawlEngine:
             "round_metrics", mdf, {"round": r}, mode="append",
             base_snapshot_id=bs.get("round_metrics", -1))
         self.catalog.commit_round(r, snaps)
-        for df in (scheduled, fetched, children, blocked, fresh_frontier,
+        for df in (scheduled, fetched, blocked, fresh_frontier,
                    trans, deduped, recrawl_cohort, weibo_full):
             if df is not None:
                 df.unpersist()
