@@ -56,8 +56,16 @@ def read_seeds(spark: SparkSession, path: str) -> DataFrame:
 
     ``seq`` is the 0-based file line order of *valid* seeds — the FIFO
     position the reference gives them (main.py:96-107 preserves list
-    order). Line numbers are taken from the text-source order; the read
-    is a single narrow stage."""
+    order). Sequencing is the distributed range-partitioned dense rank
+    (``assign_global_seq``), NOT an unpartitioned window: a
+    ``Window.orderBy`` would pull every seed into ONE task, which caps
+    bootstrap at a single core — fatal for a billion-URL seed list.
+    Splits of a single text file are assigned in byte-offset order, so
+    ``monotonically_increasing_id`` (partition_id << 33 | row-in-part)
+    is consistent with file line order across splits; for multi-file
+    seed sets, prefix file-name ordering upstream."""
+    from ..operators.sequence import assign_global_seq
+
     lines = (
         spark.read.text(path)
         .select(
@@ -65,26 +73,22 @@ def read_seeds(spark: SparkSession, path: str) -> DataFrame:
             F.col("value"),
         )
     )
-    # single text file → one partition → monotonic id ≡ line order; for
-    # multi-file seed sets, prefix file name ordering upstream.
     stripped = strip_ws(F.col("value"))
     decoded = (
         lines
         .where((F.length(stripped) > 0) & ~stripped.startswith("#"))  # seeds.py:60-61
         .select("_file_pos", decode_seed_line(F.col("value")).alias("seed"))
         .where(F.col("seed").isNotNull() & F.col("seed")["url"].isNotNull())
-    )
-    from pyspark.sql import Window
-    w = Window.orderBy("_file_pos")
-    return (
-        decoded.select(
+        .select(
+            F.col("_file_pos"),
             F.col("seed")["url"].alias("url"),
             F.col("seed")["label"].alias("label"),
             F.col("seed")["parser"].alias("parser"),
             F.coalesce(F.col("seed")["priority"], F.lit(0)).alias("priority"),
-            (F.row_number().over(w) - 1).cast("long").alias("seq"),
         )
     )
+    return assign_global_seq(decoded, ["_file_pos"], out_col="seq") \
+        .drop("_file_pos")
 
 
 def seeds_with_fallback(spark: SparkSession, catalog, file_path: str,
