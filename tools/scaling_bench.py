@@ -150,6 +150,19 @@ def run_level(cpus: int, pages_path: str, workdir: str, cfg: dict) -> dict:
             max_rounds=cfg["rounds"])
         shutil.rmtree(warm_wh, ignore_errors=True)
 
+        # per-barrier accounting: the median cost of ONE empty driver
+        # job (submit → schedule 1 task → collect) on this topology.
+        # Each engine driver barrier (run_round's `_collects`) pays at
+        # least this fixed RPC cost; barriers/round × this number is
+        # the driver-coordination share of the level's wall clock.
+        import statistics as _st
+        barrier_runs = []
+        for _ in range(10):
+            bt = time.time()
+            spark.range(1).count()
+            barrier_runs.append(time.time() - bt)
+        barrier_rpc_sec = round(_st.median(barrier_runs), 4)
+
         wh = tempfile.mkdtemp(prefix=f"run{cpus}-", dir=workdir)
         eng = CrawlEngine(
             spark, pages, policy, SnapshotCatalog(spark, wh), ccfg)
@@ -173,6 +186,10 @@ def run_level(cpus: int, pages_path: str, workdir: str, cfg: dict) -> dict:
             "articles_parsed": parsed,
             "sec": round(dt, 2),
             "urls_per_sec": round((scheduled + parsed) / dt, 2),
+            "barrier_rpc_sec": barrier_rpc_sec,
+            "driver_barrier_sec_est": round(
+                barrier_rpc_sec
+                * sum(m.get("_collects") or 0 for m in metrics), 3),
         }
     finally:
         spark.stop()
