@@ -546,6 +546,32 @@ def main() -> None:
         except Exception as ex:                    # pragma: no cover
             print(f"[bench] scaling summary unavailable: {ex}",
                   file=sys.stderr)
+        # supporting evidence: the latest REAL-executor-topology
+        # (local-cluster) measurement, with the per-barrier accounting
+        # (driver barriers/round x measured empty-job RPC cost)
+        scaling_exec = None
+        try:
+            import glob
+            cands = sorted(glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_SCALING_EXEC*.json")), key=os.path.getmtime)
+            if cands:
+                with open(cands[-1]) as f:
+                    d = json.load(f)
+                s = d["scaling"]
+                hi = d["levels"][str(s["four_n_cores"])]
+                scaling_exec = {
+                    "efficiency_median": s["efficiency"],
+                    "per_repeat": s.get("efficiency_per_repeat"),
+                    "barrier_rpc_sec": hi.get("barrier_rpc_sec"),
+                    "driver_barrier_sec_est":
+                        hi.get("driver_barrier_sec_est"),
+                    "source": os.path.basename(cands[-1]),
+                }
+                out["scaling_exec"] = scaling_exec
+        except Exception as ex:                    # pragma: no cover
+            print(f"[bench] exec scaling summary unavailable: {ex}",
+                  file=sys.stderr)
         # full detail goes to a FILE; stdout gets a COMPACT final line.
         # The driver tail-captures stdout, and r03's line outgrew the
         # capture window ("parsed": null) — keep the machine-readable
@@ -578,6 +604,8 @@ def main() -> None:
                                 if "ratio" in k or "skipped" in k}
         if scaling_1v4 is not None:
             compact["scaling_1v4"] = scaling_1v4
+        if scaling_exec is not None:
+            compact["scaling_exec"] = scaling_exec
         print(json.dumps(compact))
     finally:
         spark.stop()
