@@ -539,6 +539,7 @@ def main() -> None:
                 scaling_1v4 = {
                     "efficiency_median": s["efficiency"],
                     "per_repeat": s.get("efficiency_per_repeat"),
+                    "repeat_median": s.get("efficiency_repeat_median"),
                     "target": s["target"], "pass": s["pass"],
                     "source": os.path.basename(cands[-1]),
                 }

@@ -295,6 +295,11 @@ def main() -> None:
             "rate_4n": round(median_rate(hi), 2),
             "efficiency": round(eff, 3),
             "efficiency_per_repeat": [round(e, 3) for e in eff_runs],
+            # the paired estimator: each repeat's levels run adjacently
+            # in time, so the per-repeat ratio controls for slow box
+            # drift that the ratio-of-medians mixes across the session
+            "efficiency_repeat_median": round(
+                statistics.median(eff_runs), 3),
             "efficiency_min": round(min(eff_runs), 3),
             "efficiency_max": round(max(eff_runs), 3),
             "target": 0.8,
