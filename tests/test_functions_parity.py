@@ -307,3 +307,39 @@ def test_canonical_variants_collapse_in_frontier_dedup(spark):
     out = first_wins(with_url_identity(df, 8), "url_hash", "seq").collect()
     assert {r["seq"] for r in out} == {0, 3}
     assert len(out) == 2
+
+
+def test_read_seeds_distributed_seq_multibucket(spark, tmp_path):
+    """read_seeds numbers seeds in file-line order through the
+    range-bucketed sequencer (sources/seeds.py) — verify the seq is
+    exactly the valid-line order even when the sample is densified
+    enough to produce MULTIPLE buckets (the plan a 10^9-line seed list
+    gets; the plan-side no-SinglePartition assert lives in
+    tools/explain_audit.py)."""
+    import json as _json
+
+    from web_scrapers_python_spark.operators import sequence as seq_mod
+    from web_scrapers_python_spark.sources.seeds import read_seeds
+
+    p = tmp_path / "seeds.txt"
+    lines, expected = [], []
+    k = 0
+    for i in range(300):
+        if i % 7 == 3:
+            lines.append("# comment")          # skipped, consumes a line
+            continue
+        url = f"https://h{i % 5}.example.com/p/{i}"
+        lines.append(_json.dumps({"url": url, "label": "a"}))
+        expected.append((url, k))
+        k += 1
+    p.write_text("\n".join(lines))
+
+    orig = seq_mod.SAMPLE_MOD
+    try:
+        seq_mod.SAMPLE_MOD = 4   # densify: force >1 bucket at 300 rows
+        df = read_seeds(spark, str(p))
+        got = [(r["url"], r["seq"]) for r in
+               df.orderBy("seq").select("url", "seq").collect()]
+    finally:
+        seq_mod.SAMPLE_MOD = orig
+    assert got == expected
