@@ -74,6 +74,13 @@ def schedule_per_host(candidates: DataFrame, host_policy: DataFrame,
     ).withColumn(
         "_budget", F.coalesce(F.col("max_per_round"), F.lit(default_budget))
     ).drop("max_per_round")
+    # Budget-starved rows (hosts at max_per_round <= 0 this round) can
+    # never satisfy ``cap`` (row_number >= 1 > 0 >= _budget), so drop
+    # them map-side BEFORE any window: a backlog parked on zero-budget
+    # hosts costs a scan+filter, never a shuffle. At the design point
+    # (10^10 frontier, most pending rows waiting on politeness) this is
+    # the difference between shuffling O(pending) and O(eligible).
+    budgeted = budgeted.where(F.col("_budget") > 0)
 
     def cap(rank_col: Column) -> Column:
         exact = rank_col <= F.col("_budget")
