@@ -525,14 +525,26 @@ def main() -> None:
         # both channels: the latest recorded tools/scaling_bench.py
         # measurement (not re-run here — it is a ~2 h protocol; the
         # JSON artifact carries the full detail)
+        def _latest_artifact(pattern: str) -> list[str]:
+            """Newest-round artifact last. Primary key: the _rNN round
+            number parsed from the name (numeric, so r9 < r10 — the
+            round-4 ADVICE drift case); tiebreak: mtime. mtime alone is
+            NOT enough: a fresh `git checkout` stamps every artifact
+            with the same mtime, and the tie then falls back to
+            arbitrary glob order (observed picking _r04 over _r05)."""
+            import glob
+
+            def key(p):
+                m = re.search(r"_r(\d+)\.json$", p)
+                return (int(m.group(1)) if m else -1, os.path.getmtime(p))
+
+            return sorted(glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), pattern)),
+                key=key)
+
         scaling_1v4 = None
         try:
-            import glob
-            # newest by mtime, not filename: lexicographic order breaks
-            # on round-number drift (r9 -> r10) — round-4 ADVICE
-            cands = sorted(glob.glob(os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_SCALING_1v4*.json")), key=os.path.getmtime)
+            cands = _latest_artifact("BENCH_SCALING_1v4*.json")
             if cands:
                 with open(cands[-1]) as f:
                     s = json.load(f)["scaling"]
@@ -552,10 +564,7 @@ def main() -> None:
         # (driver barriers/round x measured empty-job RPC cost)
         scaling_exec = None
         try:
-            import glob
-            cands = sorted(glob.glob(os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_SCALING_EXEC*.json")), key=os.path.getmtime)
+            cands = _latest_artifact("BENCH_SCALING_EXEC*.json")
             if cands:
                 with open(cands[-1]) as f:
                     d = json.load(f)
