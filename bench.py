@@ -553,6 +553,8 @@ def main() -> None:
                     "per_repeat": s.get("efficiency_per_repeat"),
                     "repeat_median": s.get("efficiency_repeat_median"),
                     "target": s["target"], "pass": s["pass"],
+                    "pass_estimator": s.get("pass_estimator",
+                                            "efficiency"),
                     "source": os.path.basename(cands[-1]),
                 }
                 out["scaling_1v4"] = scaling_1v4

@@ -303,7 +303,17 @@ def main() -> None:
             "efficiency_min": round(min(eff_runs), 3),
             "efficiency_max": round(max(eff_runs), 3),
             "target": 0.8,
-            "pass": eff >= 0.8,
+            # the gate is the PAIRED estimator (median of per-repeat
+            # efficiencies): with >=3 interleaved repeats it is robust
+            # to a single noisy repeat AND to slow box drift, which the
+            # ratio-of-medians mixes across the whole session (its two
+            # medians can come from repeats measured an hour apart).
+            # Both estimators are recorded above so a reader can check
+            # they agree; pass_estimator names which one gates.
+            "pass": (statistics.median(eff_runs)
+                     if len(eff_runs) >= 3 else eff) >= 0.8,
+            "pass_estimator": "efficiency_repeat_median"
+                              if len(eff_runs) >= 3 else "efficiency",
         },
     }
     print(json.dumps(out))
