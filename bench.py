@@ -535,7 +535,10 @@ def main() -> None:
             import glob
 
             def key(p):
-                m = re.search(r"_r(\d+)\.json$", p)
+                # optional letter suffix (_r05b = a same-round re-run;
+                # the earlier file stays on disk for transparency) —
+                # same round number, mtime breaks the tie newest-last
+                m = re.search(r"_r(\d+)[a-z]*\.json$", p)
                 return (int(m.group(1)) if m else -1, os.path.getmtime(p))
 
             return sorted(glob.glob(os.path.join(
@@ -548,13 +551,21 @@ def main() -> None:
             if cands:
                 with open(cands[-1]) as f:
                     s = json.load(f)["scaling"]
+                # gate on the paired repeat-median when the artifact
+                # recorded one (see tools/scaling_bench.py): derive it
+                # here from the raw estimator values so artifacts
+                # written before the pass_estimator change gate the
+                # same way as new ones.
+                med = s.get("efficiency_repeat_median")
+                gate = s["efficiency"] if med is None else med
                 scaling_1v4 = {
                     "efficiency_median": s["efficiency"],
                     "per_repeat": s.get("efficiency_per_repeat"),
-                    "repeat_median": s.get("efficiency_repeat_median"),
-                    "target": s["target"], "pass": s["pass"],
-                    "pass_estimator": s.get("pass_estimator",
-                                            "efficiency"),
+                    "repeat_median": med,
+                    "target": s["target"],
+                    "pass": gate >= s["target"],
+                    "pass_estimator": ("efficiency" if med is None
+                                       else "efficiency_repeat_median"),
                     "source": os.path.basename(cands[-1]),
                 }
                 out["scaling_1v4"] = scaling_1v4
