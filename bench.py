@@ -550,7 +550,8 @@ def main() -> None:
             cands = _latest_artifact("BENCH_SCALING_1v4*.json")
             if cands:
                 with open(cands[-1]) as f:
-                    s = json.load(f)["scaling"]
+                    sj = json.load(f)
+                s = sj["scaling"]
                 # gate on the paired repeat-median when the artifact
                 # recorded one (see tools/scaling_bench.py): derive it
                 # here from the raw estimator values so artifacts
@@ -558,14 +559,20 @@ def main() -> None:
                 # same way as new ones.
                 med = s.get("efficiency_repeat_median")
                 gate = s["efficiency"] if med is None else med
+                # gate_valid: a session whose same-session pure-CPU
+                # control fell below the target cannot gate the engine
+                # (recorded by scaling_bench.py --control-gate;
+                # absent = the session was not control-invalidated)
+                gate_valid = bool(sj.get("gate_valid", True))
                 scaling_1v4 = {
                     "efficiency_median": s["efficiency"],
                     "per_repeat": s.get("efficiency_per_repeat"),
                     "repeat_median": med,
                     "target": s["target"],
-                    "pass": gate >= s["target"],
+                    "pass": gate >= s["target"] and gate_valid,
                     "pass_estimator": ("efficiency" if med is None
                                        else "efficiency_repeat_median"),
+                    "gate_valid": gate_valid,
                     "source": os.path.basename(cands[-1]),
                 }
                 out["scaling_1v4"] = scaling_1v4

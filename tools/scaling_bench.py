@@ -213,6 +213,15 @@ def main() -> None:
                          " to decorrelate machine drift) and report the"
                          " per-level MEDIAN rate — this box has ±30%% "
                          "run-to-run spread, single runs are unreadable")
+    ap.add_argument("--control-gate", type=float, default=None,
+                    help="run the pure-CPU 1v4 control "
+                         "(tools/cpu_control.py) before the first and "
+                         "after the last repeat, record both in the "
+                         "artifact, and mark gate_valid=false when "
+                         "either is below this threshold — a session "
+                         "whose own box cannot scale to the target "
+                         "cannot gate the engine (the r05_hostnoise "
+                         "lesson). Recommended: the 0.8 target itself.")
     args = ap.parse_args()
     cfg = SMALL if args.small else FULL
     workdir = args.workdir or tempfile.mkdtemp(prefix="scaling-bench-")
@@ -233,6 +242,24 @@ def main() -> None:
 
     import statistics
     import subprocess
+
+    def control_pair() -> float:
+        """Pure-CPU lo-v-hi scaling of the BOX right now (no Spark) —
+        the ceiling any engine measurement is bounded by this session.
+        Subprocess so the pool workers never share this process."""
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "cpu_control.py"),
+             str(levels[0]), str(levels[-1])],
+            capture_output=True, text=True)
+        pairs = json.loads(proc.stdout.strip().splitlines()[-1])["pairs"]
+        return list(pairs.values())[0]
+
+    control_before = control_pair() if args.control_gate is not None \
+        else None
+    if control_before is not None:
+        print(f"CONTROL before: {control_before}", file=sys.stderr)
     runs: dict[int, list] = {c: [] for c in levels}
     first = True
     for rep in range(max(1, args.repeats)):
@@ -316,6 +343,20 @@ def main() -> None:
                               if len(eff_runs) >= 3 else "efficiency",
         },
     }
+    if args.control_gate is not None:
+        control_after = control_pair()
+        print(f"CONTROL after: {control_after}", file=sys.stderr)
+        out["same_session_cpu_control"] = {
+            "tool": f"tools/cpu_control.py {levels[0]} {levels[-1]}",
+            "before": control_before, "after": control_after,
+            "threshold": args.control_gate,
+        }
+        # a session whose own pure-CPU ceiling is below the target
+        # cannot gate the engine in either direction
+        out["gate_valid"] = (min(control_before, control_after)
+                             >= args.control_gate)
+        out["scaling"]["pass"] = bool(out["scaling"]["pass"]
+                                      and out["gate_valid"])
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as f:
